@@ -1,0 +1,91 @@
+"""StandardAnalyzer-semantics analysis chain.
+
+Reference semantics (Lucene 7.0, /root/reference):
+
+- Tokenizer: UAX#29 word-break; we implement the ALPHANUM/NUM subset
+  (SURVEY.md §7 hard-part 3 documents the deviation): maximal runs of
+  ``[A-Za-z0-9_]`` joined across single ``' . :`` connectors, matching
+  StandardTokenizer behavior on that subset (MidLetter/MidNumLet/
+  ExtendNumLet rules).  Grammar reference:
+  lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/
+  StandardTokenizerImpl.jflex:40-66.
+- Tokens longer than MAX_TOKEN_LENGTH (255) are dropped but still advance
+  the position (StandardTokenizer.java:178-188 ``skippedPositions++``).
+- StandardFilter: no-op in 7.0 (StandardFilter.java).
+- LowerCaseFilter: per-codepoint lowercase (LowerCaseFilter.java:45).
+- StopFilter: fixed 33-word English set (StandardAnalyzer.java:44-50);
+  removed tokens increase the position increment of the next surviving
+  token (FilteringTokenFilter.java:49-63), so positions have gaps.
+
+Field length for norms counts surviving tokens only
+(DefaultIndexingChain.java:710-790; FieldInvertState.java:35-37).
+"""
+
+from __future__ import annotations
+
+import re
+
+MAX_TOKEN_LENGTH = 255
+
+# StandardAnalyzer.ENGLISH_STOP_WORDS_SET (StandardAnalyzer.java:44-50)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# ALPHANUM/NUM subset of UAX#29: base chars [A-Za-z0-9_] (underscore is
+# ExtendNumLet and joins), single MidLetter/MidNumLet connectors ' . :
+# between base runs.  Fixtures are constrained to this subset (FIXTURES.md §3).
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+(?:['.:][A-Za-z0-9_]+)*")
+
+
+def tokenize_raw(text: str) -> list[str]:
+    """Tokenizer output before lowercase/stop filtering (255-rule applied
+    by the caller so position accounting stays in one place)."""
+    return _TOKEN_RE.findall(text)
+
+
+def analyze(text: str) -> list[str]:
+    """Full chain, terms only: tokenize -> 255-drop -> lowercase -> stop."""
+    out = []
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        tok = tok.lower()
+        if tok in ENGLISH_STOP_WORDS:
+            continue
+        out.append(tok)
+    return out
+
+
+def analyze_detailed(text: str) -> tuple[list[str], list[int]]:
+    """Full chain with positions.
+
+    Returns (terms, positions).  Position starts at -1 and advances by each
+    token's increment (DefaultIndexingChain.java:710-790); dropped tokens
+    (too-long, stopword) increase the next survivor's increment, producing
+    gaps.  len(terms) is the field length used for norms.
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = -1
+    skipped = 0
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            skipped += 1
+            continue
+        low = tok.lower()
+        if low in ENGLISH_STOP_WORDS:
+            skipped += 1
+            continue
+        pos += skipped + 1
+        skipped = 0
+        terms.append(low)
+        positions.append(pos)
+    return terms, positions
+
+
+def analyze_query_terms(query_text: str) -> list[str]:
+    """Analyze one query atom (QueryParser runs the field analyzer on
+    query text; stopwords vanish — the all-stopword query matches nothing)."""
+    return analyze(query_text)

@@ -1,0 +1,155 @@
+"""Pure numpy golden oracle of Lucene's index + BM25 query semantics.
+
+This is the executable spec (SURVEY.md §5 item 2): a tiny single-node
+implementation of exactly the reference semantics, used in tests as the
+golden model for the Spark engine (TestBoolean2-style cross-implementation
+equivalence, lucene/core/src/test/org/apache/lucene/search/TestBoolean2.java).
+
+Float discipline (must match Java evaluation order):
+- idf = (float) Math.log(1 + (docCount - docFreq + 0.5)/(docFreq + 0.5))
+  computed in double, cast to float32 (BM25Similarity.java:71-74).
+- avgdl = (float)(sumTotalTermFreq / (double) docCount) (:86-97).
+- cache[i] = k1 * ((1-b) + b * NORM_TABLE[i] / avgdl), float32 ops (:213-217).
+- per-term score = weightValue * freq / (freq + cache[norm]), float32,
+  weightValue = idf * boost * (k1+1) (:229-254).
+- boolean nodes sum child scores in DOUBLE then cast to float32
+  (DisjunctionSumScorer.java:36-41, ConjunctionScorer.java:54-58).
+- top-k tie-break: score desc, docID asc (HitQueue.java:76-81,
+  TopScoreDocCollector.java:71-78).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..analysis import analyze
+from .smallfloat import NORM_TABLE, norm_bytes_for_lengths
+
+# Query tree nodes: ("term", str) | ("and", [nodes]) | ("or", [nodes])
+QueryNode = tuple
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
+class LuceneOracle:
+    """In-memory reference index + searcher over (doc_id, text) rows."""
+
+    params: BM25Params = field(default_factory=BM25Params)
+
+    def __post_init__(self):
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.norm_bytes: np.ndarray | None = None
+        self.doc_ids: np.ndarray | None = None
+        self.doc_count = 0  # docs with >=1 posting (Terms.getDocCount())
+        self.sum_total_term_freq = 0
+
+    # ---- build ---------------------------------------------------------
+    def build(self, rows: list[tuple[int, str]]) -> "LuceneOracle":
+        """rows: (doc_id, text), doc_ids dense 0..n-1 in stable order."""
+        rows = sorted(rows)
+        n = len(rows)
+        lengths = np.zeros(n, dtype=np.int64)
+        post: dict[str, list[tuple[int, int]]] = {}
+        for doc_id, text in rows:
+            terms = analyze(text)
+            lengths[doc_id] = len(terms)
+            if not terms:
+                continue
+            tf: dict[str, int] = {}
+            for t in terms:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                post.setdefault(t, []).append((doc_id, f))
+        self.postings = {
+            t: (
+                np.array([d for d, _ in pl], dtype=np.int64),
+                np.array([f for _, f in pl], dtype=np.int64),
+            )
+            for t, pl in post.items()
+        }
+        self.norm_bytes = norm_bytes_for_lengths(lengths)
+        self.doc_ids = np.arange(n, dtype=np.int64)
+        self.doc_count = int((lengths > 0).sum())
+        self.sum_total_term_freq = int(lengths.sum())
+        return self
+
+    # ---- stats ---------------------------------------------------------
+    def idf(self, term: str) -> np.float32:
+        df = len(self.postings.get(term, ((), ()))[0])
+        dc = self.doc_count
+        return np.float32(np.log(1 + (dc - df + 0.5) / (df + 0.5)))
+
+    def avgdl(self) -> np.float32:
+        if self.sum_total_term_freq <= 0:
+            return np.float32(1.0)
+        return np.float32(self.sum_total_term_freq / float(self.doc_count))
+
+    def norm_cache(self) -> np.ndarray:
+        """256-entry float32 cache: k1 * ((1-b) + b * NORM_TABLE[i] / avgdl)."""
+        k1 = np.float32(self.params.k1)
+        b = np.float32(self.params.b)
+        avgdl = self.avgdl()
+        return (k1 * ((np.float32(1.0) - b) + b * NORM_TABLE / avgdl)).astype(
+            np.float32
+        )
+
+    # ---- scoring -------------------------------------------------------
+    def _score_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, float32 scores) for one term."""
+        if term not in self.postings:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        docs, tfs = self.postings[term]
+        idf = self.idf(term)
+        k1 = np.float32(self.params.k1)
+        weight_value = np.float32(idf * np.float32(1.0) * (k1 + np.float32(1.0)))
+        cache = self.norm_cache()
+        norms = cache[self.norm_bytes[docs]]
+        freq = tfs.astype(np.float32)
+        scores = (weight_value * freq / (freq + norms)).astype(np.float32)
+        return docs, scores
+
+    def _eval(self, node: QueryNode) -> tuple[np.ndarray, np.ndarray]:
+        kind = node[0]
+        if kind == "term":
+            return self._score_term(node[1])
+        children = [self._eval(c) for c in node[1]]
+        if not children:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if kind == "and":
+            docs = children[0][0]
+            for cd, _ in children[1:]:
+                docs = np.intersect1d(docs, cd, assume_unique=True)
+            if docs.size == 0:
+                return docs, np.empty(0, dtype=np.float32)
+            total = np.zeros(docs.size, dtype=np.float64)
+            for cd, cs in children:
+                idx = np.searchsorted(cd, docs)
+                total += cs[idx].astype(np.float64)
+            return docs, total.astype(np.float32)
+        if kind == "or":
+            all_docs = np.concatenate([c[0] for c in children])
+            if all_docs.size == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            docs = np.unique(all_docs)
+            total = np.zeros(docs.size, dtype=np.float64)
+            for cd, cs in children:
+                if cd.size:
+                    idx = np.searchsorted(docs, cd)
+                    np.add.at(total, idx, cs.astype(np.float64))
+            return docs, total.astype(np.float32)
+        raise ValueError(f"unknown node kind {kind!r}")
+
+    def search(self, node: QueryNode, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, float32 score), tie-break score desc / docID asc."""
+        docs, scores = self._eval(node)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]

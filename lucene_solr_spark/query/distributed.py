@@ -1,0 +1,216 @@
+"""Distributed query executor: the boolean/BM25 plan as DataFrame ops.
+
+This is the cluster path (Solr's distributed GET_TOP_IDS phase, SURVEY.md
+§3.2 step 5): every index partition scores its postings locally, then the
+global top-k is a TakeOrderedAndProject merge — never a full sort
+(TopDocs.merge semantics, search/TopDocs.java:90-114).
+
+Plan shape per query:
+- scan postings parquet with bucket partition pruning + term predicate
+  pushdown (block payloads are only materialized for surviving rows),
+- decode + score blocks in one Arrow-batched mapInPandas (float32 per-term
+  scores, broadcast {term: doc_freq} + global stats),
+- boolean tree:   AND -> inner join on doc_id (clause-order double sum);
+                  OR  -> union + groupBy(doc_id) with clause-index-sorted
+                         aggregation so the double-sum order is
+                         deterministic and equals the oracle's,
+- top-k: orderBy(score desc, doc_id asc).limit(k)  [per-partition heaps +
+  driver merge under AQE — the TopScoreDocCollector/TopDocs.merge shape].
+
+Scores are float32 end-to-end and rank-identical to the LocalSearcher and
+the numpy oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.builder import term_bucket
+from ..index.codec import decode_block
+from ..oracle.smallfloat import NORM_TABLE
+from .parser import parse_query
+
+_SCORED_SCHEMA = "term string, doc_id long, score float"
+
+
+class DistributedSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "_manifest.json")) as f:
+            self.params = json.load(f)["params"]
+        self.n_buckets = int(self.params["n_buckets"])
+        self.k1 = float(self.params.get("k1", 1.2))
+        self.b = float(self.params.get("b", 0.75))
+        fs = (
+            spark.read.parquet(os.path.join(index_dir, "field_stats"))
+            .collect()[0]
+            .asDict()
+        )
+        self.doc_count = int(fs["doc_count"] or 0)
+        self.sum_ttf = int(fs["sum_total_term_freq"] or 0)
+        self._postings_path = os.path.join(index_dir, "postings")
+        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+
+    # ------------------------------------------------------------ plan
+    def _scored_terms_df(self, terms: list[str]) -> DataFrame:
+        """DF(term, doc_id, score float32) for all query terms in ONE
+        partition-pruned scan + decode pass."""
+        terms = sorted(set(terms))
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        dfs = {
+            r["term"]: int(r["doc_freq"])
+            for r in self._term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+        post = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "salt", "block_id", "kind", "first_doc",
+                    "doc_count", "payload", "norms_payload")
+        )
+        k1 = np.float32(self.k1)
+        b = np.float32(self.b)
+        doc_count = self.doc_count
+        avgdl = (
+            np.float32(self.sum_ttf / float(doc_count))
+            if self.sum_ttf > 0
+            else np.float32(1.0)
+        )
+        cache = (k1 * ((np.float32(1.0) - b) + b * NORM_TABLE / avgdl)).astype(
+            np.float32
+        )
+        bc_dfs = self.spark.sparkContext.broadcast(dfs)
+
+        def score_blocks(batches):
+            wv_cache: dict[str, np.float32] = {}
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs, tfs = decode_block(
+                        dict(
+                            kind=row.kind,
+                            payload=row.payload,
+                            doc_count=row.doc_count,
+                            first_doc=row.first_doc,
+                            block_id=row.block_id,
+                        )
+                    )
+                    norms = np.frombuffer(row.norms_payload, dtype=np.uint8)
+                    wv = wv_cache.get(row.term)
+                    if wv is None:
+                        df_t = bc_dfs.value.get(row.term, 0)
+                        idf = np.float32(
+                            np.log(1 + (doc_count - df_t + 0.5) / (df_t + 0.5))
+                        )
+                        wv = np.float32(idf * (k1 + np.float32(1.0)))
+                        wv_cache[row.term] = wv
+                    freq = tfs.astype(np.float32)
+                    sc = (wv * freq / (freq + cache[norms])).astype(np.float32)
+                    outs.append(
+                        pd.DataFrame(
+                            {"term": row.term, "doc_id": docs, "score": sc}
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return post.mapInPandas(score_blocks, _SCORED_SCHEMA)
+
+    def _plan(self, node, scored: DataFrame, clause_idx: list[int]) -> DataFrame:
+        """Recursively build DF(doc_id, score float) for a query node."""
+        kind = node[0]
+        if kind == "term":
+            i = clause_idx[0]
+            clause_idx[0] += 1
+            return (
+                scored.filter(F.col("term") == node[1])
+                .select("doc_id", "score")
+                .withColumn("cidx", F.lit(i))
+            )
+        children = [self._plan(c, scored, clause_idx) for c in node[1]]
+        if kind == "and":
+            acc = children[0].select(
+                "doc_id", F.col("score").cast("double").alias("s"), "cidx"
+            )
+            for ch in children[1:]:
+                acc = acc.join(
+                    ch.select("doc_id", F.col("score").cast("double").alias("s2")),
+                    "doc_id",
+                ).select(
+                    "doc_id", (F.col("s") + F.col("s2")).alias("s"), "cidx"
+                )
+            return acc.select(
+                "doc_id", F.col("s").cast("float").alias("score"), "cidx"
+            )
+        if kind == "or":
+            u = children[0]
+            for ch in children[1:]:
+                u = u.unionByName(ch)
+            # deterministic clause-order double sum (matches
+            # DisjunctionSumScorer accumulation in clause order)
+            agg = u.groupBy("doc_id").agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("cidx", F.col("score")))
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["score"].cast("double"),
+                ).alias("s"),
+                F.min("cidx").alias("cidx"),
+            )
+            return agg.select(
+                "doc_id", F.col("s").cast("float").alias("score"), "cidx"
+            )
+        raise ValueError(kind)
+
+    # ------------------------------------------------------------- api
+    def search_df(self, query, k: int = 10) -> DataFrame:
+        """Top-k as a DataFrame(doc_id long, score float) — composable
+        with join-back to the source table (stored-fields fetch)."""
+        node = parse_query(query) if isinstance(query, str) else query
+        if node is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        terms = _terms_of(node)
+        scored = self._scored_terms_df(terms)
+        plan = self._plan(node, scored, [0])
+        return (
+            plan.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search(self, query, k: int = 10) -> list[tuple[int, float]]:
+        return [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.search_df(query, k).collect()
+        ]
+
+    def fetch_topk_with_source(self, query, transcripts: DataFrame, k: int = 10
+                               ) -> DataFrame:
+        """Two-phase fetch (Solr GET_FIELDS): broadcast-join the tiny top-k
+        back to docmap + source table for stored fields."""
+        top = self.search_df(query, k)
+        docmap = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        ids = docmap.join(F.broadcast(top), "doc_id")
+        return (
+            transcripts.join(
+                F.broadcast(ids.select("doc_id", "score", "conv_id", "turn_idx")),
+                ["conv_id", "turn_idx"],
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+
+def _terms_of(node) -> list[str]:
+    if node[0] == "term":
+        return [node[1]]
+    out = []
+    for c in node[1]:
+        out.extend(_terms_of(c))
+    return out

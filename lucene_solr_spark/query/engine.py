@@ -1,0 +1,319 @@
+"""Local (single-process) query executor over a built index — the
+shard-server analogue of IndexSearcher.search (SURVEY.md §3.2).
+
+Reads the parquet index directly through pyarrow with bucket partition
+pruning + term predicate pushdown, decodes posting blocks with the numpy
+codec, and scores BM25 with exactly Lucene's float discipline:
+
+- per-term float32 scores via the 256-entry norm cache
+  (BM25Similarity.java:213-217, 229-254),
+- boolean nodes sum child scores in double, cast to float32
+  (DisjunctionSumScorer.java:36-41, ConjunctionScorer.java:54-58),
+- top-k tie-break (score desc, docID asc) (HitQueue.java:76-81).
+
+Physical optimizations (SURVEY.md §4.2):
+- AND: cost-ordered intersection, cheapest (lowest-df) list leads
+  (ConjunctionDISI.java:150,175-210); larger lists decode only blocks
+  whose [first_doc, last_doc] range intersects surviving candidates —
+  the skip-list advance() analogue over our block-max metadata.
+- top-level OR with k: sound block-max pruning (the reference 7.0
+  snapshot has no WAND; this is our addition per the north star):
+  block b of term t is skipped when
+      max_score_contrib(t, b) + sum(global_max(t') for t' != t) < theta
+  where theta is the k-th best fully-scored candidate so far.  Skipped
+  blocks are decoded on demand if one of their docs survives via another
+  term, so returned scores are always complete and exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..index.builder import term_bucket
+from ..index.codec import decode_block
+from ..oracle.smallfloat import NORM_TABLE
+from .parser import parse_query
+
+
+class _TermPostings:
+    """Decoded-on-demand posting list of one term: sorted docs, tfs, norms,
+    plus per-block metadata for range skipping."""
+
+    __slots__ = ("term", "n_docs", "blocks", "_decoded", "max_contrib")
+
+    def __init__(self, term: str, block_rows: list[dict]):
+        self.term = term
+        # salts are doc-range ordered -> (salt, block_id) order is global
+        # doc order; block ranges are disjoint and ascending.
+        self.blocks = sorted(block_rows, key=lambda r: (r["salt"], r["block_id"]))
+        self.n_docs = sum(b["doc_count"] for b in self.blocks)
+        self.max_contrib = (
+            max(b["max_score_contrib"] for b in self.blocks) if self.blocks else 0.0
+        )
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray]:
+        fd = np.array([b["first_doc"] for b in self.blocks], dtype=np.int64)
+        ld = np.array([b["last_doc"] for b in self.blocks], dtype=np.int64)
+        return fd, ld
+
+    def decode(self, idx: int):
+        got = self._decoded.get(idx)
+        if got is None:
+            b = self.blocks[idx]
+            docs, tfs = decode_block(b)
+            norms = np.frombuffer(b["norms_payload"], dtype=np.uint8)
+            got = (docs, tfs, norms)
+            self._decoded[idx] = got
+        return got
+
+    def decode_blocks(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if len(idxs) == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint8),
+            )
+        parts = [self.decode(i) for i in idxs]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+    def decode_all(self):
+        return self.decode_blocks(range(len(self.blocks)))
+
+
+class LocalSearcher:
+    """Serve top-k BM25 boolean queries from a built index directory."""
+
+    def __init__(self, index_dir: str, pruning: bool = True):
+        self.index_dir = index_dir
+        self.pruning = pruning
+        with open(os.path.join(index_dir, "_manifest.json")) as f:
+            m = json.load(f)
+        self.params = m["params"]
+        self.n_buckets = int(self.params["n_buckets"])
+        self.k1 = np.float32(self.params.get("k1", 1.2))
+        self.b = np.float32(self.params.get("b", 0.75))
+        fs = pq.read_table(os.path.join(index_dir, "field_stats")).to_pylist()[0]
+        self.doc_count = int(fs["doc_count"] or 0)
+        self.sum_ttf = int(fs["sum_total_term_freq"] or 0)
+        self.max_doc = int(fs["max_doc"] or 0)
+        self.avgdl = (
+            np.float32(self.sum_ttf / float(self.doc_count))
+            if self.sum_ttf > 0
+            else np.float32(1.0)
+        )
+        self.cache = (
+            self.k1
+            * ((np.float32(1.0) - self.b) + self.b * NORM_TABLE / self.avgdl)
+        ).astype(np.float32)
+        self._postings_ds = pads.dataset(
+            os.path.join(index_dir, "postings"), format="parquet",
+            partitioning="hive",
+        )
+        self._term_cache: dict[str, _TermPostings] = {}
+
+    # ------------------------------------------------------------ fetch
+    def _load_terms(self, terms: list[str]) -> None:
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if not missing:
+            return
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+        import pyarrow.compute as pc
+
+        filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
+        tbl = self._postings_ds.to_table(filter=filt)
+        rows = tbl.to_pylist()
+        by_term: dict[str, list[dict]] = {t: [] for t in missing}
+        for r in rows:
+            by_term[r["term"]].append(r)
+        for t in missing:
+            self._term_cache[t] = _TermPostings(t, by_term[t])
+
+    # ---------------------------------------------------------- scoring
+    def _weight_value(self, df: int) -> np.float32:
+        idf = np.float32(
+            np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
+        )
+        return np.float32(idf * (self.k1 + np.float32(1.0)))
+
+    def _score_arrays(self, tfs: np.ndarray, norms: np.ndarray,
+                      wv: np.float32) -> np.ndarray:
+        freq = tfs.astype(np.float32)
+        return (wv * freq / (freq + self.cache[norms])).astype(np.float32)
+
+    def _term_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        tp = self._term_cache[term]
+        docs, tfs, norms = tp.decode_all()
+        wv = self._weight_value(tp.n_docs)
+        return docs, self._score_arrays(tfs, norms, wv)
+
+    def _term_lookup(self, term: str, candidates: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Scores of `candidates` (sorted) that this term matches, decoding
+        only blocks whose doc range intersects the candidates."""
+        tp = self._term_cache[term]
+        if not tp.blocks or candidates.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        fd, ld = tp.block_ranges()
+        # block i relevant iff any candidate in [fd[i], ld[i]]
+        lo = np.searchsorted(candidates, fd, side="left")
+        hi = np.searchsorted(candidates, ld, side="right")
+        idxs = np.flatnonzero(hi > lo)
+        docs, tfs, norms = tp.decode_blocks(idxs)
+        if docs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        mask = np.isin(docs, candidates, assume_unique=True)
+        wv = self._weight_value(tp.n_docs)
+        return docs[mask], self._score_arrays(tfs[mask], norms[mask], wv)
+
+    # ------------------------------------------------------------- eval
+    def _collect_terms(self, node) -> list[str]:
+        if node is None:
+            return []
+        if node[0] == "term":
+            return [node[1]]
+        out = []
+        for c in node[1]:
+            out.extend(self._collect_terms(c))
+        return out
+
+    def _eval(self, node) -> tuple[np.ndarray, np.ndarray]:
+        kind = node[0]
+        if kind == "term":
+            return self._term_full(node[1])
+        children = node[1]
+        if kind == "and":
+            # cost order: cheapest df leads (ConjunctionDISI discipline)
+            def df_of(n):
+                if n[0] == "term":
+                    return self._term_cache[n[1]].n_docs
+                return self.max_doc + 1  # composite: evaluate late
+
+            ordered = sorted(range(len(children)), key=lambda i: df_of(children[i]))
+            lead = children[ordered[0]]
+            if lead[0] == "term":
+                docs = self._term_cache[lead[1]]
+                docs_arr, _, _ = docs.decode_all()
+                cand = docs_arr
+            else:
+                cand, _ = self._eval(lead)
+            for i in ordered[1:]:
+                ch = children[i]
+                if cand.size == 0:
+                    break
+                if ch[0] == "term":
+                    cd, _ = self._term_lookup(ch[1], cand)
+                    cand = cd
+                else:
+                    cd, _ = self._eval(ch)
+                    cand = np.intersect1d(cand, cd, assume_unique=True)
+            if cand.size == 0:
+                return cand, np.empty(0, np.float32)
+            # exact scores in clause order (ConjunctionScorer double sum)
+            total = np.zeros(cand.size, dtype=np.float64)
+            for ch in children:
+                if ch[0] == "term":
+                    cd, cs = self._term_lookup(ch[1], cand)
+                else:
+                    cd, cs = self._eval(ch)
+                    m = np.isin(cd, cand, assume_unique=True)
+                    cd, cs = cd[m], cs[m]
+                idx = np.searchsorted(cand, cd)
+                total[idx] += cs.astype(np.float64)
+            return cand, total.astype(np.float32)
+        if kind == "or":
+            parts = [self._eval(c) for c in children]
+            all_docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+            if all_docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs = np.unique(all_docs)
+            total = np.zeros(docs.size, dtype=np.float64)
+            for cd, cs in parts:
+                if cd.size:
+                    idx = np.searchsorted(docs, cd)
+                    np.add.at(total, idx, cs.astype(np.float64))
+            return docs, total.astype(np.float32)
+        raise ValueError(kind)
+
+    # -------------------------------------------- pruned top-level OR
+    def _search_or_pruned(self, terms: list[str], k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned evaluation of a flat OR of terms."""
+        tps = [self._term_cache[t] for t in terms]
+        gmax = np.array([tp.max_contrib for tp in tps], dtype=np.float64)
+        # establish theta from the highest-impact term, fully scored with
+        # complete (all-term) scores for its docs
+        seed = int(np.argmax(gmax))
+        cand, _ = self._term_full(terms[seed])
+        scores = self._complete_scores(terms, np.unique(cand))
+        theta = _kth_best(scores[1], k)
+        kept_docs = [scores[0]]
+        kept_scores = [scores[1]]
+        for i, (t, tp) in enumerate(zip(terms, tps)):
+            if i == seed:
+                continue
+            others = float(gmax.sum() - gmax[i])
+            ub = np.array(
+                [b["max_score_contrib"] for b in tp.blocks], dtype=np.float64
+            ) + others
+            live = np.flatnonzero(ub >= theta) if theta > -np.inf else np.arange(len(tp.blocks))
+            docs, _, _ = tp.decode_blocks(live)
+            fresh = np.setdiff1d(docs, np.concatenate(kept_docs), assume_unique=False)
+            if fresh.size:
+                fd, fscores = self._complete_scores(terms, fresh)
+                kept_docs.append(fd)
+                kept_scores.append(fscores)
+                theta = _kth_best(np.concatenate(kept_scores), k)
+        docs = np.concatenate(kept_docs)
+        scs = np.concatenate(kept_scores)
+        docs, ix = np.unique(docs, return_index=True)
+        return docs, scs[ix]
+
+    def _complete_scores(self, terms: list[str], docs: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact full OR scores for the given sorted candidate docs,
+        decoding blocks on demand (term contributions in clause order,
+        double accumulate, float32 cast)."""
+        total = np.zeros(docs.size, dtype=np.float64)
+        for t in terms:
+            cd, cs = self._term_lookup(t, docs)
+            idx = np.searchsorted(docs, cd)
+            total[idx] += cs.astype(np.float64)
+        return docs, total.astype(np.float32)
+
+    # ------------------------------------------------------------- api
+    def search(self, query, k: int = 10) -> list[tuple[int, float]]:
+        node = parse_query(query) if isinstance(query, str) else query
+        if node is None:
+            return []
+        terms = self._collect_terms(node)
+        self._load_terms(terms)
+        if (
+            self.pruning
+            and node[0] == "or"
+            and all(c[0] == "term" for c in node[1])
+            and len(set(t for _, t in node[1])) == len(node[1])
+        ):
+            docs, scores = self._search_or_pruned([t for _, t in node[1]], k)
+        else:
+            docs, scores = self._eval(node)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def _kth_best(scores: np.ndarray, k: int) -> float:
+    if scores.size < k:
+        return -np.inf
+    return float(np.partition(scores, -k)[-k])
