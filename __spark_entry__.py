@@ -153,7 +153,7 @@ def _bm25_base(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
     fs = spark.read.parquet(os.path.join(idx, "field_stats")).collect()[0]
     dc = int(fs["doc_count"])
     avgdl = float(fs["sum_total_term_freq"]) / dc
-    dl = spark.read.parquet(os.path.join(idx, "doc_norms")).select("doc_id", "dl")
+    dl = spark.read.parquet(os.path.join(idx, "docmap")).select("doc_id", "dl")
     scored = (
         tp.join(F.broadcast(ts), "term")
         .join(dl, "doc_id")
@@ -223,13 +223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_lengths(spark, sf):
         idx = _ensure_index(spark, sf)
-        return spark.read.parquet(os.path.join(idx, "doc_norms")).select(
+        return spark.read.parquet(os.path.join(idx, "docmap")).select(
             "doc_id", "dl"
         )
 
     def doc_norm_bytes(spark, sf):
         idx = _ensure_index(spark, sf)
-        return spark.read.parquet(os.path.join(idx, "doc_norms")).select(
+        return spark.read.parquet(os.path.join(idx, "docmap")).select(
             "doc_id", "norm_byte"
         )
 

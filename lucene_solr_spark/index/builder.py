@@ -7,27 +7,46 @@ term-shuffle + per-group sort = FreqProxTermsWriter.flush term sort +
 SegmentMerger (index/FreqProxTermsWriter.java:81-110, SegmentMerger.
 java:80-133); the manifest commit = segments_N publish.
 
+Pipeline (two passes over the corpus, minimum materialization):
+
+  pass 1 (docmap): range-shuffle on (conv_id, turn_idx) -> light Arrow
+    kernel computing per-doc field length / norm byte / text hash (NO
+    token arrays are materialized — re-tokenizing in pass 2 is ~100x
+    cheaper than caching + writing array<string> columns) -> dense docID
+    offsets from per-partition counts -> ONE stored-fields table
+    `docmap(doc_id, conv_id, turn_idx, text_sha, norm_byte, dl, text)`
+    (the Lucene50StoredFieldsFormat analogue; also the resume point).
+    field_stats come from the same count job; no extra pass.
+
+  pass 2 (postings): read docmap (column-pruned to doc_id/norm_byte/
+    text), tokenize + explode + salt in one Arrow kernel, ONE shuffle
+    into groupBy(term, salt).applyInPandas block encoding.  Blocks store
+    idf-free metadata (sum_tf, max_ratio) so exact term_stats are a cheap
+    rollup of block metadata afterwards — no second corpus-wide shuffle.
+
 Scale design (10^12 turns, SURVEY.md §7):
 - docIDs: dense global rank over the stable (conv_id, turn_idx) order via
-  range repartition + per-partition counts -> broadcast offsets (two
-  narrow passes over a persisted staged table; no single-task sort, no
-  zipWithIndex RDD scan).  docIDs are ephemeral build artifacts exactly
-  like Lucene's (MergeState docMaps rebase on merge); docmap keeps the
-  (conv_id, turn_idx) identity.
+  range repartition + per-partition counts -> broadcast offsets.  docIDs
+  are ephemeral build artifacts exactly like Lucene's (MergeState docMaps
+  rebase on merge); docmap keeps the (conv_id, turn_idx) identity.
 - map-side combine: per-doc (term, tf) pairs are produced inside the
-  tokenize UDF, so the shuffle moves one row per (doc, distinct term),
+  explode kernel, so the shuffle moves one row per (doc, distinct term),
   not one per token (the TermsHashPerField in-RAM combine analogue).
 - norms travel with postings rows into the term shuffle (+1 byte/posting)
   so blocks are scoring-self-contained and query time needs NO join
-  against doc_norms — at 10^12 docs a query-time norms join would be the
-  bottleneck.
-- hot-term skew: terms with doc_freq > salt_threshold are split into
-  doc-range salts (salt = doc_id * n_salts // max_doc), keeping each
-  salted sub-list sorted and disjoint, so query-side concat in salt order
-  is still a sorted posting list (CompositeIdRouter-style hash routing +
-  our explicit salting, SURVEY.md §4.2).
+  against per-doc norms — at 10^12 docs a query-time norms join would be
+  the bottleneck.
+- hot-term skew: terms whose estimated doc_freq (from a bounded-size
+  sample; exact when the corpus is small) exceeds salt_df_threshold are
+  split into doc-range salts (salt = doc_id * n_salts // max_doc),
+  keeping each salted sub-list sorted and disjoint, so query-side concat
+  in salt order is still a sorted posting list (CompositeIdRouter-style
+  hash routing + our explicit salting, SURVEY.md §4.2).  Salting needs
+  only an ESTIMATE (it is a partitioning decision, not a statistic):
+  exact doc_freq is recovered from the block-metadata rollup.
 - resume: each stage commits to the manifest; re-runs skip committed
-  stages (TopicStream-style checkpointing).
+  stages (TopicStream-style checkpointing).  Pass 2 reads pass 1's
+  on-disk table, so resume works across sessions.
 """
 
 from __future__ import annotations
@@ -48,15 +67,26 @@ from ..oracle.smallfloat import NORM_TABLE, norm_bytes_for_lengths
 from .codec import encode_blocks
 from . import store
 
-ANALYZED_SCHEMA = (
+DOCMAP_STAGE_SCHEMA = (
     "pid int, local_idx long, conv_id string, turn_idx int, dl int, "
-    "norm_byte int, text_sha string, terms array<string>, tfs array<int>"
+    "norm_byte int, text_sha string, text string"
+)
+
+#: map-side partial posting chunks (the DWPT in-RAM segment flushed per
+#: input partition, index/DocumentsWriterPerThread.java:409): the shuffle
+#: moves ENCODED blocks (~2-4 bytes/posting), not raw exploded rows
+#: (~40 bytes/posting) — at 10^12 turns the raw-row shuffle would be
+#: disk-bound (and measurably is at 3M turns on this sandbox's 300MB/s
+#: disk)
+CHUNK_SCHEMA = (
+    "term string, salt int, kind int, first_doc long, last_doc long, "
+    "doc_count int, sum_tf long, max_tf int, payload binary, norms binary"
 )
 
 POSTINGS_SCHEMA = (
     "term string, salt int, block_id int, kind int, first_doc long, "
-    "last_doc long, doc_count int, payload binary, norms_payload binary, "
-    "max_tf int, max_score_contrib float, bucket int"
+    "last_doc long, doc_count int, sum_tf long, payload binary, "
+    "norms_payload binary, max_tf int, max_ratio float, bucket int"
 )
 
 
@@ -65,10 +95,6 @@ def term_bucket(term: str, n_buckets: int) -> int:
     which is per-process salted)."""
     h = hashlib.sha1(term.encode("utf-8")).digest()
     return int.from_bytes(h[:8], "big") % n_buckets
-
-
-def _term_bucket_series(terms: pd.Series, n_buckets: int) -> pd.Series:
-    return terms.map(lambda t: term_bucket(t, n_buckets)).astype("int32")
 
 
 @dataclass
@@ -84,154 +110,284 @@ class BuildConfig:
 # --------------------------------------------------------------- stage 1
 
 
-def _tokenize_batches(batches):
-    """mapInPandas kernel: analysis chain + per-doc tf combine + norms.
+def _docmap_factory(index_dir: str, top_terms: int = 4096):
+    """mapInPandas kernel: per-doc analysis stats, no token materialization.
 
     Rows arrive sorted by (conv_id, turn_idx) within a range partition;
     local_idx is the row's rank inside the partition (dense docIDs follow
     after the offsets join).  text_sha records the per-turn text hash for
     the per-row invariant check (north_rule: per-turn text equality under
     stable ordering).
-    """
-    from pyspark import TaskContext
 
-    pid = TaskContext.get().partitionId()
-    offset = 0
-    for pdf in batches:
-        n = len(pdf)
-        terms_col, tfs_col, dls = [], [], np.zeros(n, dtype=np.int64)
-        for i, text in enumerate(pdf["text"].tolist()):
-            toks = analyze(text or "")
-            dls[i] = len(toks)
-            if toks:
-                # map-side combine: (term, tf) pairs, term-sorted for
-                # deterministic downstream layout
-                uniq: dict[str, int] = {}
-                for t in toks:
-                    uniq[t] = uniq.get(t, 0) + 1
-                items = sorted(uniq.items())
-                terms_col.append([t for t, _ in items])
-                tfs_col.append([c for _, c in items])
-            else:
-                terms_col.append([])
-                tfs_col.append([])
-        out = pd.DataFrame(
-            {
-                "pid": np.int32(pid),
-                "local_idx": np.arange(offset, offset + n, dtype=np.int64),
-                "conv_id": pdf["conv_id"].values,
-                "turn_idx": pdf["turn_idx"].values,
-                "dl": dls.astype(np.int32),
-                "norm_byte": norm_bytes_for_lengths(dls).astype(np.int32),
-                "text_sha": [
-                    hashlib.sha1((t or "").encode("utf-8")).hexdigest()
-                    for t in pdf["text"].tolist()
-                ],
-                "terms": terms_col,
-                "tfs": tfs_col,
-            }
+    Side output: each partition atomically publishes its top-N term
+    doc-frequency counts to ``_hotstats/`` (tmp+rename, idempotent under
+    task retry) — the DWPT flush-stats analogue.  Summed driver-side
+    they give the hot-term salt map WITHOUT a separate sampling job over
+    the corpus.  Truncation to top-N only ever UNDER-counts, which can
+    only under-salt — a partitioning decision, never a statistic.
+    """
+
+    def run(batches):
+        from collections import Counter
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offset = 0
+        term_df: Counter = Counter()
+        for pdf in batches:
+            n = len(pdf)
+            texts = pdf["text"].tolist()
+            dls = np.zeros(n, dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = analyze(t or "")
+                dls[i] = len(toks)
+                term_df.update(set(toks))
+            out = pd.DataFrame(
+                {
+                    "pid": np.int32(pid),
+                    "local_idx": np.arange(offset, offset + n, dtype=np.int64),
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "dl": dls.astype(np.int32),
+                    "norm_byte": norm_bytes_for_lengths(dls).astype(np.int32),
+                    "text_sha": [
+                        hashlib.sha1((t or "").encode("utf-8")).hexdigest()
+                        for t in texts
+                    ],
+                    "text": texts,
+                }
+            )
+            offset += n
+            yield out
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        top = term_df.most_common(top_terms)
+        d = os.path.join(index_dir, "_hotstats")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".pid-{pid}.tmp")
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array([t for t, _ in top], pa.string()),
+                    "cnt": pa.array([c for _, c in top], pa.int64()),
+                }
+            ),
+            tmp,
         )
-        offset += n
-        yield out
+        os.replace(tmp, os.path.join(d, f"pid-{pid}.parquet"))
+
+    return run
 
 
 def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
                   cfg: BuildConfig) -> None:
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(index_dir, "_hotstats"), ignore_errors=True)
     parts = cfg.partitions or spark.sparkContext.defaultParallelism
     sorted_df = transcripts.repartitionByRange(
         parts, F.col("conv_id"), F.col("turn_idx")
     ).sortWithinPartitions("conv_id", "turn_idx")
-    analyzed_local = sorted_df.mapInPandas(_tokenize_batches, ANALYZED_SCHEMA)
-    analyzed_local.persist(StorageLevel.MEMORY_AND_DISK)
-    # pass 1: per-partition counts -> dense docID offsets (broadcast join)
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in analyzed_local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+    lite = sorted_df.mapInPandas(_docmap_factory(index_dir), DOCMAP_STAGE_SCHEMA)
+    lite.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # one job: per-partition counts (docID offsets) + field stats
+        agg_rows = (
+            lite.groupBy("pid")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum((F.col("dl") > 0).cast("long")).alias("nonempty"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .collect()
         )
-    )
-    analyzed = (
-        analyzed_local.join(offsets_df, "pid")
-        .withColumn("doc_id", F.col("offset") + F.col("local_idx"))
-        .drop("pid", "local_idx", "offset")
-    )
-    analyzed.write.mode("overwrite").parquet(os.path.join(index_dir, "analyzed"))
-    analyzed_local.unpersist()
-    a = spark.read.parquet(os.path.join(index_dir, "analyzed"))
-    a.select("doc_id", "conv_id", "turn_idx", "text_sha").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "docmap"))
-    a.select("doc_id", "norm_byte", "dl").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "doc_norms")
+        counts = {r["pid"]: r["cnt"] for r in agg_rows}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offsets_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+                "pid int, offset long",
+            )
+        )
+        docs = lite.join(offsets_df, "pid").select(
+            (F.col("offset") + F.col("local_idx")).alias("doc_id"),
+            "conv_id", "turn_idx", "text_sha", "norm_byte", "dl", "text",
+        )
+        docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docmap"))
+    finally:
+        lite.unpersist()
+    # field_stats: single row, written driver-side (no Spark job)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    doc_count = int(sum(r["nonempty"] for r in agg_rows))
+    sttf = int(sum(r["sum_dl"] for r in agg_rows))
+    fs_dir = os.path.join(index_dir, "field_stats")
+    os.makedirs(fs_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_count": pa.array([doc_count], pa.int64()),
+                "sum_total_term_freq": pa.array([sttf], pa.int64()),
+                "max_doc": pa.array([int(acc)], pa.int64()),
+            }
+        ),
+        os.path.join(fs_dir, "part-0.parquet"),
     )
     store.commit_stage(index_dir, "docmap", {"max_doc": int(acc)})
+    store.commit_stage(index_dir, "field_stats")
 
 
 # --------------------------------------------------------------- stage 2
 
 
-def _stage_stats(spark: SparkSession, index_dir: str) -> None:
-    a = spark.read.parquet(os.path.join(index_dir, "analyzed"))
-    # docCount = docs with >=1 posting (Terms.getDocCount semantics);
-    # sumTotalTermFreq = total surviving tokens
-    fs = a.agg(
-        F.sum((F.col("dl") > 0).cast("long")).alias("doc_count"),
-        F.sum("dl").alias("sum_total_term_freq"),
-        (F.max("doc_id") + 1).alias("max_doc"),
-    )
-    fs.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "field_stats")
-    )
-    store.commit_stage(index_dir, "field_stats")
+def _hot_terms_from_sidecar(index_dir: str, cfg: BuildConfig) -> dict[str, int]:
+    """{term: n_salts} from the per-partition ``_hotstats`` sidecars
+    published by the docmap kernel — no extra Spark job, and the summed
+    counts are exact for every term that made each partition's top-N
+    (under-counts can only under-salt: a partitioning decision, never a
+    statistic)."""
+    import glob as _glob
 
-    exploded = a.select(
-        "doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("p")
-    ).select("doc_id", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
-    ts = exploded.groupBy("term").agg(
-        F.count("*").alias("doc_freq"), F.sum("tf").alias("total_term_freq")
-    )
-    ts.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
-    store.commit_stage(index_dir, "term_stats")
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(os.path.join(index_dir, "_hotstats", "pid-*.parquet"))
+    if not files:
+        return {}
+    totals: dict[str, int] = {}
+    for f in files:
+        t = pq.read_table(f)
+        for term, cnt in zip(
+            t.column("term").to_pylist(), t.column("cnt").to_pylist()
+        ):
+            totals[term] = totals.get(term, 0) + int(cnt)
+    return {
+        term: int(np.ceil(cnt / cfg.salt_target))
+        for term, cnt in totals.items()
+        if cnt > cfg.salt_df_threshold
+    }
 
 
-# --------------------------------------------------------------- stage 3
+def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int):
+    """mapInPandas kernel: the DWPT analogue.  Tokenizes + inverts the
+    whole input partition in RAM (term -> doc/tf/norm arrays), then
+    flushes per-(term, salt) ENCODED chunk blocks — so the term shuffle
+    moves compressed postings, not raw rows (map-side combine at segment
+    granularity, index/DocumentsWriterPerThread.java:409 +
+    FreqProxTermsWriter.flush)."""
+
+    def invert(batches):
+        acc: dict[str, list] = {}  # term -> [docs list, tfs list, norms list]
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].values
+            norm_bytes = pdf["norm_byte"].values
+            for i, text in enumerate(pdf["text"].tolist()):
+                toks = analyze(text or "")
+                if not toks:
+                    continue
+                uniq: dict[str, int] = {}
+                for t in toks:
+                    uniq[t] = uniq.get(t, 0) + 1
+                d = int(doc_ids[i])
+                nb = int(norm_bytes[i])
+                for t, tf in uniq.items():
+                    ent = acc.get(t)
+                    if ent is None:
+                        acc[t] = [[d], [tf], [nb]]
+                    else:
+                        ent[0].append(d)
+                        ent[1].append(tf)
+                        ent[2].append(nb)
+        rows = []
+        for term, (dl, tl, nl) in acc.items():
+            docs = np.asarray(dl, dtype=np.int64)
+            tfs = np.asarray(tl, dtype=np.int64)
+            norms = np.asarray(nl, dtype=np.uint8)
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, norms = docs[order], tfs[order], norms[order]
+            n_salt = hot_salts.get(term, 1) if hot_salts else 1
+            if n_salt > 1:
+                salts = (docs * n_salt // max(max_doc, 1)).astype(np.int32)
+                bounds = np.flatnonzero(np.diff(salts)) + 1
+                pieces = zip(
+                    np.split(docs, bounds), np.split(tfs, bounds),
+                    np.split(norms, bounds), np.split(salts, bounds),
+                )
+            else:
+                pieces = [(docs, tfs, norms, np.zeros(1, np.int32))]
+            for pd_docs, pd_tfs, pd_norms, pd_salts in pieces:
+                salt = int(pd_salts[0])
+                off = 0
+                for blk in encode_blocks(pd_docs, pd_tfs):
+                    e = off + blk["doc_count"]
+                    rows.append(
+                        (
+                            term, salt, blk["kind"], blk["first_doc"],
+                            blk["last_doc"], blk["doc_count"],
+                            int(pd_tfs[off:e].sum()), blk["max_tf"],
+                            blk["payload"], pd_norms[off:e].tobytes(),
+                        )
+                    )
+                    off = e
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "term", "salt", "kind", "first_doc", "last_doc",
+                    "doc_count", "sum_tf", "max_tf", "payload", "norms",
+                ],
+            )
+
+    return invert
 
 
-def _encode_group_factory(avgdl: float, doc_count: int, k1: float, b: float,
-                          n_buckets: int, hot_df: dict[str, int], max_doc: int):
-    """applyInPandas kernel over one (term, salt) group -> encoded blocks.
+def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
+    """applyInPandas kernel over one (term, salt) group: the SegmentMerger
+    analogue (index/SegmentMerger.java:80-133) — decode the per-partition
+    chunk blocks, merge into one globally doc-sorted list, re-encode as
+    final blocks.
 
-    max_score_contrib is the exact per-block BM25 upper bound
-    weightValue * max(tf/(tf+cache[norm])) — the block-max metadata that
-    replaces Lucene's skip lists (SURVEY.md §4.2) and feeds WAND/MaxScore
-    pruning.  idf uses the term's GLOBAL doc_freq: hot (salted) terms get
-    it from the broadcast salt map; unsalted groups see their full list.
-    """
+    max_ratio is the idf-free per-block BM25 upper bound
+    max(tf/(tf+cache[norm])) — multiplied by the term's weightValue at
+    query time it gives the block-max metadata that replaces Lucene's
+    skip lists (SURVEY.md §4.2) and feeds WAND/MaxScore pruning.  Being
+    idf-free, the encoder needs no global term statistics: exact
+    term_stats are rolled up FROM the blocks afterwards."""
+    from .codec import decode_block
+
     k1f = np.float32(k1)
     bf = np.float32(b)
-    cache = (k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / np.float32(avgdl))).astype(np.float32)
+    cache = (
+        k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / np.float32(avgdl))
+    ).astype(np.float32)
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
-        order = np.argsort(pdf["doc_id"].values, kind="stable")
-        docs = pdf["doc_id"].values[order].astype(np.int64)
-        tfs = pdf["tf"].values[order].astype(np.int64)
-        norms = pdf["norm_byte"].values[order].astype(np.uint8)
-        df_global = hot_df.get(term, len(docs))
-        idf = np.float32(np.log(1 + (doc_count - df_global + 0.5) / (df_global + 0.5)))
-        weight_value = np.float32(idf * (k1f + np.float32(1.0)))
+        d_parts, t_parts, n_parts = [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t = decode_block(
+                dict(kind=r.kind, payload=r.payload, doc_count=r.doc_count,
+                     first_doc=r.first_doc)
+            )
+            d_parts.append(d)
+            t_parts.append(t)
+            n_parts.append(np.frombuffer(r.norms, dtype=np.uint8))
+        docs = np.concatenate(d_parts)
+        tfs = np.concatenate(t_parts)
+        norms = np.concatenate(n_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, norms = docs[order], tfs[order], norms[order]
         rows = []
         blocks = encode_blocks(docs, tfs)
         freq = tfs.astype(np.float32)
-        ratio = (weight_value * (freq / (freq + cache[norms]))).astype(np.float32)
+        ratio = (freq / (freq + cache[norms])).astype(np.float32)
+        bucket = term_bucket(term, n_buckets)
         for blk in blocks:
             s, e = blk["block_id"] * 128, blk["block_id"] * 128 + blk["doc_count"]
             rows.append(
@@ -243,70 +399,53 @@ def _encode_group_factory(avgdl: float, doc_count: int, k1: float, b: float,
                     blk["first_doc"],
                     blk["last_doc"],
                     blk["doc_count"],
+                    int(tfs[s:e].sum()),
                     blk["payload"],
                     norms[s:e].tobytes(),
                     blk["max_tf"],
                     float(ratio[s:e].max()),
-                    term_bucket(term, n_buckets),
+                    bucket,
                 )
             )
         return pd.DataFrame(
             rows,
             columns=[
                 "term", "salt", "block_id", "kind", "first_doc", "last_doc",
-                "doc_count", "payload", "norms_payload", "max_tf",
-                "max_score_contrib", "bucket",
+                "doc_count", "sum_tf", "payload", "norms_payload", "max_tf",
+                "max_ratio", "bucket",
             ],
         )
 
-    return encode
+    return merge
 
 
 def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig) -> None:
-    a = spark.read.parquet(os.path.join(index_dir, "analyzed"))
-    fs = spark.read.parquet(os.path.join(index_dir, "field_stats")).collect()[0]
+    import pyarrow.parquet as pq
+
+    fs = pq.read_table(os.path.join(index_dir, "field_stats")).to_pylist()[0]
     max_doc = int(fs["max_doc"])
-    avgdl = float(
-        np.float32(fs["sum_total_term_freq"] / float(fs["doc_count"]))
-    ) if fs["doc_count"] else 1.0
-
-    # hot-term salt map (explicit skew handling, north_rule)
-    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
-    hot = (
-        ts.filter(F.col("doc_freq") > cfg.salt_df_threshold)
-        .select("term", "doc_freq")
-        .collect()
-    )
-    hot_salts = {
-        r["term"]: int(np.ceil(r["doc_freq"] / cfg.salt_target)) for r in hot
-    }
-    hot_df = {r["term"]: int(r["doc_freq"]) for r in hot}
-    b_hot = spark.sparkContext.broadcast(hot_salts)
-
-    exploded = a.select(
-        "doc_id",
-        "norm_byte",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
-    ).select(
-        "doc_id",
-        "norm_byte",
-        F.col("p.terms").alias("term"),
-        F.col("p.tfs").alias("tf"),
+    avgdl = (
+        float(np.float32(fs["sum_total_term_freq"] / float(fs["doc_count"])))
+        if fs["doc_count"]
+        else 1.0
     )
 
-    @F.pandas_udf("int")
-    def salt_of(term: pd.Series, doc_id: pd.Series) -> pd.Series:
-        hs = b_hot.value
-        if not hs:
-            return pd.Series(np.zeros(len(term), dtype=np.int32))
-        n = term.map(lambda t: hs.get(t, 1)).astype("int64")
-        return ((doc_id.astype("int64") * n) // max(max_doc, 1)).astype("int32")
+    # hot-term salt map (explicit skew handling, north_rule); skipped
+    # entirely when no term can possibly exceed the threshold
+    hot_salts: dict[str, int] = {}
+    if max_doc > cfg.salt_df_threshold:
+        hot_salts = _hot_terms_from_sidecar(index_dir, cfg)
 
-    salted = exploded.withColumn("salt", salt_of(F.col("term"), F.col("doc_id")))
-    encode = _encode_group_factory(
-        avgdl, int(fs["doc_count"] or 0), cfg.k1, cfg.b, cfg.n_buckets, hot_df, max_doc
+    docs = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "norm_byte", "text"
     )
-    postings = salted.groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+    chunks = docs.mapInPandas(
+        _partial_postings_factory(hot_salts, max_doc), CHUNK_SCHEMA
+    )
+    merge = _merge_group_factory(avgdl, cfg.k1, cfg.b, cfg.n_buckets)
+    postings = chunks.groupBy("term", "salt").applyInPandas(
+        merge, POSTINGS_SCHEMA
+    )
     (
         postings.repartition(max(cfg.n_buckets, 1), "bucket")
         .sortWithinPartitions("term", "salt", "block_id")
@@ -316,8 +455,28 @@ def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig) -> No
     )
     store.commit_stage(
         index_dir, "postings",
-        {"avgdl": avgdl, "n_buckets": cfg.n_buckets, "hot_terms": len(hot_salts)},
+        {"avgdl": avgdl, "n_buckets": cfg.n_buckets,
+         "hot_terms": len(hot_salts)},
     )
+
+
+# --------------------------------------------------------------- stage 3
+
+
+def _stage_term_stats(spark: SparkSession, index_dir: str) -> None:
+    """Exact per-term stats rolled up from posting-block metadata (the
+    TermContext.build / IndexSearcher.collectionStatistics analogue,
+    search/IndexSearcher.java:777-810) — column-pruned scan, no payloads
+    read, no corpus-wide shuffle."""
+    p = spark.read.parquet(os.path.join(index_dir, "postings")).select(
+        "term", "doc_count", "sum_tf"
+    )
+    ts = p.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("doc_freq"),
+        F.sum("sum_tf").alias("total_term_freq"),
+    )
+    ts.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    store.commit_stage(index_dir, "term_stats")
 
 
 # --------------------------------------------------------------- stage 4
@@ -362,10 +521,10 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
     )
     if not (resume and store.stage_committed(index_dir, "docmap")):
         _stage_docmap(spark, transcripts, index_dir, cfg)
-    if not (resume and store.stage_committed(index_dir, "term_stats")):
-        _stage_stats(spark, index_dir)
     if not (resume and store.stage_committed(index_dir, "postings")):
         _stage_postings(spark, index_dir, cfg)
+    if not (resume and store.stage_committed(index_dir, "term_stats")):
+        _stage_term_stats(spark, index_dir)
     if not (resume and store.stage_committed(index_dir, "lineage")):
         _stage_lineage(spark, index_dir, cfg, time.time() - t0)
     return store.read_manifest(index_dir)
@@ -375,7 +534,9 @@ def validate_index(spark: SparkSession, transcripts: DataFrame, index_dir: str) 
     """CheckIndex analogue (index/CheckIndex.java:502-757) + the per-row
     invariant: per-turn text equality under stable (conv_id, turn_idx)
     ordering, via text_sha comparison against the source table."""
-    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "conv_id", "turn_idx", "text_sha"
+    )
     src = transcripts.select(
         "conv_id", "turn_idx", F.sha1(F.coalesce(F.col("text"), F.lit(""))).alias("src_sha")
     )

@@ -4,15 +4,16 @@ Layout under <index_dir>/ (parquet; on a cluster this is an Iceberg table
 family — the local sandbox has no Iceberg runtime, so we keep the same
 snapshot/manifest discipline over parquet directories):
 
-    analyzed/      doc_id, conv_id, turn_idx, dl, norm_byte, text_sha,
-                   terms array<string>, tfs array<int>     (build staging)
-    docmap/        doc_id, conv_id, turn_idx, text_sha     (join-back + validation)
-    doc_norms/     doc_id, norm_byte
-    term_stats/    term, doc_freq, total_term_freq
+    docmap/        doc_id, conv_id, turn_idx, text_sha, norm_byte, dl,
+                   text  — the stored-fields table
+                   (Lucene50StoredFieldsFormat analogue): join-back,
+                   validation, norms, and the pass-2/resume source
+    term_stats/    term, doc_freq, total_term_freq (exact rollup of
+                   posting-block metadata)
     field_stats/   doc_count, sum_total_term_freq, max_doc (single row)
     postings/      bucket=<b>/... term, salt, block_id, kind, first_doc,
-                   last_doc, doc_count, payload, norms_payload, max_tf,
-                   max_score_contrib
+                   last_doc, doc_count, sum_tf, payload, norms_payload,
+                   max_tf, max_ratio
     lineage/       segment_id, stage, term_range_lo, term_range_hi,
                    doc_count, bytes, status, detail
     _manifest.json snapshot of committed stages (segments_N analogue,
@@ -31,7 +32,7 @@ import os
 import time
 
 MANIFEST = "_manifest.json"
-STAGES = ("docmap", "field_stats", "term_stats", "postings", "lineage")
+STAGES = ("docmap", "field_stats", "postings", "term_stats", "lineage")
 
 
 def manifest_path(index_dir: str) -> str:

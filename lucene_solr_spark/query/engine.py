@@ -19,7 +19,7 @@ Physical optimizations (SURVEY.md §4.2):
 - top-level OR with k: sound block-max pruning (the reference 7.0
   snapshot has no WAND; this is our addition per the north star):
   block b of term t is skipped when
-      max_score_contrib(t, b) + sum(global_max(t') for t' != t) < theta
+      weightValue(t) * max_ratio(t, b) + sum(global_max(t') for t' != t) < theta
   where theta is the k-th best fully-scored candidate so far.  Skipped
   blocks are decoded on demand if one of their docs survives via another
   term, so returned scores are always complete and exact.
@@ -45,7 +45,7 @@ class _TermPostings:
     """Decoded-on-demand posting list of one term: sorted docs, tfs, norms,
     plus per-block metadata for range skipping."""
 
-    __slots__ = ("term", "n_docs", "blocks", "_decoded", "max_contrib")
+    __slots__ = ("term", "n_docs", "blocks", "_decoded", "max_ratio")
 
     def __init__(self, term: str, block_rows: list[dict]):
         self.term = term
@@ -53,8 +53,11 @@ class _TermPostings:
         # doc order; block ranges are disjoint and ascending.
         self.blocks = sorted(block_rows, key=lambda r: (r["salt"], r["block_id"]))
         self.n_docs = sum(b["doc_count"] for b in self.blocks)
-        self.max_contrib = (
-            max(b["max_score_contrib"] for b in self.blocks) if self.blocks else 0.0
+        # idf-free block-max; multiply by the term's weightValue for the
+        # score upper bound (weightValue needs global df = n_docs, known
+        # only after all salted sub-lists are assembled here)
+        self.max_ratio = (
+            max(b["max_ratio"] for b in self.blocks) if self.blocks else 0.0
         )
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
@@ -250,7 +253,12 @@ class LocalSearcher:
                           ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned evaluation of a flat OR of terms."""
         tps = [self._term_cache[t] for t in terms]
-        gmax = np.array([tp.max_contrib for tp in tps], dtype=np.float64)
+        wvs = np.array(
+            [self._weight_value(tp.n_docs) for tp in tps], dtype=np.float64
+        )
+        gmax = np.array(
+            [tp.max_ratio for tp in tps], dtype=np.float64
+        ) * wvs
         # establish theta from the highest-impact term, fully scored with
         # complete (all-term) scores for its docs
         seed = int(np.argmax(gmax))
@@ -264,8 +272,8 @@ class LocalSearcher:
                 continue
             others = float(gmax.sum() - gmax[i])
             ub = np.array(
-                [b["max_score_contrib"] for b in tp.blocks], dtype=np.float64
-            ) + others
+                [b["max_ratio"] for b in tp.blocks], dtype=np.float64
+            ) * wvs[i] + others
             live = np.flatnonzero(ub >= theta) if theta > -np.inf else np.arange(len(tp.blocks))
             docs, _, _ = tp.decode_blocks(live)
             fresh = np.setdiff1d(docs, np.concatenate(kept_docs), assume_unique=False)

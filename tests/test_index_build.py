@@ -27,7 +27,8 @@ def test_term_stats_match_oracle(index_dir, oracle):
 
 def test_norms_match_oracle(index_dir, oracle):
     dn = (
-        pq.read_table(os.path.join(index_dir, "doc_norms"))
+        pq.read_table(os.path.join(index_dir, "docmap"),
+                      columns=["doc_id", "norm_byte"])
         .to_pandas()
         .sort_values("doc_id")
     )
@@ -75,3 +76,41 @@ def test_lineage_rows_exist(index_dir):
     assert len(lin) >= 1
     assert (lin["status"] == "committed").all()
     assert (lin["bytes"] > 0).all()
+
+
+def test_salted_hot_terms_roundtrip(spark, tmp_path, oracle):
+    """Hot-term salting (skew path): with a tiny threshold every frequent
+    term is split into doc-range salts; decoded salt-order concatenation
+    must equal the unsalted posting list, and queries stay rank-identical."""
+    import pyarrow.dataset as pads
+
+    from lucene_solr_spark.index.builder import BuildConfig, build_index
+    from lucene_solr_spark.index.codec import decode_block
+    from lucene_solr_spark.query.engine import LocalSearcher
+    from lucene_solr_spark.sources import gen_transcripts_df
+
+    d = str(tmp_path / "salted")
+    df = gen_transcripts_df(spark, n_convs=40, seed=42)
+    build_index(
+        spark, df, d,
+        BuildConfig(n_buckets=4, salt_df_threshold=50, salt_target=60),
+    )
+    ds = pads.dataset(os.path.join(d, "postings"), partitioning="hive")
+    rows = ds.to_table().to_pylist()
+    assert max(r["salt"] for r in rows) > 0  # salting actually happened
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert set(by_term) == set(oracle.postings)
+    for t, blks in by_term.items():
+        blks.sort(key=lambda r: (r["salt"], r["block_id"]))
+        docs = np.concatenate([decode_block(b)[0] for b in blks])
+        assert np.array_equal(docs, oracle.postings[t][0]), t
+        assert np.all(np.diff(docs) > 0), t  # globally sorted across salts
+    s = LocalSearcher(d)
+    node = ("and", [("term", "retry"), ("term", "deploy")])
+    hits = s.search(node, 10)
+    want = oracle.search(node, 10)
+    assert [(h[0], np.float32(h[1])) for h in hits] == [
+        (int(d_), np.float32(s_)) for d_, s_ in want
+    ]

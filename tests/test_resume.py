@@ -39,7 +39,7 @@ def test_resume_after_partial_build(spark, tmp_path, monkeypatch):
     full_dir = str(tmp_path / "full")
     build_index(spark, df, full_dir, cfg)
 
-    # interrupted build: kill right after the term_stats stage commits
+    # interrupted build: kill right after the docmap stage commits
     part_dir = str(tmp_path / "partial")
     from lucene_solr_spark.index import builder as B
 
@@ -52,8 +52,9 @@ def test_resume_after_partial_build(spark, tmp_path, monkeypatch):
     with pytest.raises(_Boom):
         build_index(spark, df, part_dir, cfg)
     assert store.stage_committed(part_dir, "docmap")
-    assert store.stage_committed(part_dir, "term_stats")
+    assert store.stage_committed(part_dir, "field_stats")
     assert not store.stage_committed(part_dir, "postings")
+    assert not store.stage_committed(part_dir, "term_stats")
 
     # resume: completes remaining stages without redoing docmap
     monkeypatch.setattr(B, "_stage_postings", orig)
@@ -72,8 +73,9 @@ def test_resume_after_partial_build(spark, tmp_path, monkeypatch):
     a = _postings_fingerprint(full_dir)
     b = _postings_fingerprint(part_dir)
     assert a.equals(b)
-    na = pq.read_table(os.path.join(full_dir, "doc_norms")).to_pandas().sort_values("doc_id")
-    nb = pq.read_table(os.path.join(part_dir, "doc_norms")).to_pandas().sort_values("doc_id")
+    cols = ["doc_id", "norm_byte"]
+    na = pq.read_table(os.path.join(full_dir, "docmap"), columns=cols).to_pandas().sort_values("doc_id")
+    nb = pq.read_table(os.path.join(part_dir, "docmap"), columns=cols).to_pandas().sort_values("doc_id")
     assert np.array_equal(na["norm_byte"].values, nb["norm_byte"].values)
 
     # identical query results
