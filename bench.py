@@ -6,11 +6,12 @@ Measures, per BASELINE.json metric:
     corpus synthesis is not part of indexing throughput),
   - scaling efficiency between two parallelism levels on the SAME input
     (the sandbox substitute for N vs 4N executors, per driver
-    instruction).  The pair is local[4] -> local[16] because a raw
+    instruction).  The default pair is local[2] -> local[8]: a raw
     multiprocessing capacity probe (reported in the output) shows this
-    host delivers only ~16 cores of real CPU capacity: 32 burner
-    processes produce the same aggregate throughput as 16, so
-    local[32] adds phantom parallelism, not capacity.  Each timed build
+    host delivers only ~16 cores of real CPU capacity (32 burner
+    processes produce the same aggregate throughput as 16), so both
+    levels must sit well inside that budget for the comparison to
+    measure the ENGINE's scaling rather than host saturation.  Each timed build
     is preceded by a small warmup build in the same JVM (JIT + Python
     worker spin-up), standard JVM benchmarking practice.
   - top-k BM25 query latency over the reference query set (warm serving
@@ -33,12 +34,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-LOW_CORES = int(os.environ.get("SPARK_GRAFT_LOW_CORES", "4"))
-HIGH_CORES = int(os.environ.get("SPARK_GRAFT_HIGH_CORES", "16"))
+LOW_CORES = int(os.environ.get("SPARK_GRAFT_LOW_CORES", "2"))
+HIGH_CORES = int(os.environ.get("SPARK_GRAFT_HIGH_CORES", "8"))
 #: corpus for the scaling pair: big enough that parallel work dominates
-#: fixed per-build overhead (~7s: JVM job scheduling, range-sample job,
-#: parquet commit protocol) — at 3M turns the 4-core build is ~95% compute
-SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "3000000"))
+#: fixed per-build overhead (JVM job scheduling, range-sample job,
+#: parquet commit protocol) — at 2M turns the 2-core build is ~95% compute
+SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "2000000"))
 
 _TURNS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 _TURNS_PER_CONV = 22.5  # E[n_turns] of the generator
@@ -274,15 +275,19 @@ def _write_baseline_md(out: dict) -> None:
         cap_s = ", ".join(f"{k} procs -> {v}" for k, v in sorted(cap.items()))
         lines += [
             "",
-            "## Why the scaling pair is 4 -> 16 cores",
+            f"## Why the scaling pair is {s['low_cores']} -> "
+            f"{s['high_cores']} cores",
             "",
             "A Spark-free multiprocessing probe (3s of vectorized numpy per "
             f"process) measures aggregate host throughput: {cap_s} "
-            "iterations.  Throughput saturates at 16 processes — 32 "
-            "processes add no aggregate capacity (the host advertises 32 "
-            "vCPUs but delivers ~16 cores of real CPU), so local[4] -> "
-            "local[16] is the honest N -> 4N comparison; local[32] would "
-            "measure oversubscription, not scaling.",
+            "iterations.  Throughput saturates well below the advertised "
+            "32 vCPUs (the host delivers ~16 cores of real CPU; 32 "
+            "processes add no aggregate capacity over 16), so both levels "
+            "of the N -> 4N pair must sit inside that real budget for the "
+            "comparison to measure the ENGINE's scaling rather than host "
+            f"saturation — hence local[{s['low_cores']}] -> "
+            f"local[{s['high_cores']}].  local[32] numbers measure "
+            "oversubscription, not scaling.",
         ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
