@@ -80,13 +80,15 @@ DOCMAP_STAGE_SCHEMA = (
 #: disk)
 CHUNK_SCHEMA = (
     "term string, salt int, kind int, first_doc long, last_doc long, "
-    "doc_count int, sum_tf long, max_tf int, payload binary, norms binary"
+    "doc_count int, sum_tf long, max_tf int, payload binary, norms binary, "
+    "pos binary"
 )
 
 POSTINGS_SCHEMA = (
     "term string, salt int, block_id int, kind int, first_doc long, "
     "last_doc long, doc_count int, sum_tf long, payload binary, "
-    "norms_payload binary, max_tf int, max_ratio float, bucket int"
+    "norms_payload binary, pos_payload binary, max_tf int, "
+    "max_ratio float, bucket int"
 )
 
 
@@ -103,6 +105,10 @@ class BuildConfig:
     partitions: int | None = None  # docid/range partitions; default = shuffle parallelism
     salt_df_threshold: int = 200_000  # doc_freq above which a term is salted
     salt_target: int = 100_000  # target postings per salted sub-list
+    #: index positions (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS,
+    #: index/IndexOptions.java:30-53) — required for phrase queries;
+    #: off by default like a DOCS_AND_FREQS field
+    positions: bool = False
     k1: float = 1.2
     b: float = 0.75
 
@@ -273,64 +279,87 @@ def _hot_terms_from_sidecar(index_dir: str, cfg: BuildConfig) -> dict[str, int]:
     }
 
 
-def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int):
+def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
+                              positions: bool = False):
     """mapInPandas kernel: the DWPT analogue.  Tokenizes + inverts the
-    whole input partition in RAM (term -> doc/tf/norm arrays), then
-    flushes per-(term, salt) ENCODED chunk blocks — so the term shuffle
-    moves compressed postings, not raw rows (map-side combine at segment
-    granularity, index/DocumentsWriterPerThread.java:409 +
+    whole input partition in RAM (term -> doc/tf/norm[/position] arrays),
+    then flushes per-(term, salt) ENCODED chunk blocks — so the term
+    shuffle moves compressed postings, not raw rows (map-side combine at
+    segment granularity, index/DocumentsWriterPerThread.java:409 +
     FreqProxTermsWriter.flush)."""
+    from ..analysis.analyzer import analyze_detailed
+    from .codec import encode_positions
 
     def invert(batches):
-        acc: dict[str, list] = {}  # term -> [docs list, tfs list, norms list]
+        # term -> [docs list, tfs list, norms list, poslists list]
+        acc: dict[str, list] = {}
         for pdf in batches:
             doc_ids = pdf["doc_id"].values
             norm_bytes = pdf["norm_byte"].values
             for i, text in enumerate(pdf["text"].tolist()):
-                toks = analyze(text or "")
-                if not toks:
-                    continue
-                uniq: dict[str, int] = {}
-                for t in toks:
-                    uniq[t] = uniq.get(t, 0) + 1
+                if positions:
+                    toks, poss = analyze_detailed(text or "")
+                    if not toks:
+                        continue
+                    uniq: dict[str, list] = {}
+                    for t, p in zip(toks, poss):
+                        uniq.setdefault(t, []).append(p)
+                else:
+                    toks = analyze(text or "")
+                    if not toks:
+                        continue
+                    uniq = {}
+                    for t in toks:
+                        uniq[t] = uniq.get(t, 0) + 1
                 d = int(doc_ids[i])
                 nb = int(norm_bytes[i])
-                for t, tf in uniq.items():
+                for t, v in uniq.items():
+                    tf = len(v) if positions else v
                     ent = acc.get(t)
                     if ent is None:
-                        acc[t] = [[d], [tf], [nb]]
-                    else:
-                        ent[0].append(d)
-                        ent[1].append(tf)
-                        ent[2].append(nb)
+                        acc[t] = ent = [[], [], [], []]
+                    ent[0].append(d)
+                    ent[1].append(tf)
+                    ent[2].append(nb)
+                    if positions:
+                        ent[3].append(np.asarray(v, dtype=np.int64))
         rows = []
-        for term, (dl, tl, nl) in acc.items():
+        for term, (dl, tl, nl, pl) in acc.items():
             docs = np.asarray(dl, dtype=np.int64)
             tfs = np.asarray(tl, dtype=np.int64)
             norms = np.asarray(nl, dtype=np.uint8)
             order = np.argsort(docs, kind="stable")
             docs, tfs, norms = docs[order], tfs[order], norms[order]
+            if positions:
+                pl = [pl[j] for j in order]
             n_salt = hot_salts.get(term, 1) if hot_salts else 1
             if n_salt > 1:
                 salts = (docs * n_salt // max(max_doc, 1)).astype(np.int32)
-                bounds = np.flatnonzero(np.diff(salts)) + 1
-                pieces = zip(
-                    np.split(docs, bounds), np.split(tfs, bounds),
-                    np.split(norms, bounds), np.split(salts, bounds),
-                )
+                bounds = (np.flatnonzero(np.diff(salts)) + 1).tolist()
+                piece_edges = [0] + bounds + [docs.size]
             else:
-                pieces = [(docs, tfs, norms, np.zeros(1, np.int32))]
-            for pd_docs, pd_tfs, pd_norms, pd_salts in pieces:
-                salt = int(pd_salts[0])
+                piece_edges = [0, docs.size]
+            for pi in range(len(piece_edges) - 1):
+                s0, s1 = piece_edges[pi], piece_edges[pi + 1]
+                pd_docs, pd_tfs, pd_norms = docs[s0:s1], tfs[s0:s1], norms[s0:s1]
+                salt = (
+                    int(pd_docs[0] * n_salt // max(max_doc, 1))
+                    if n_salt > 1 else 0
+                )
                 off = 0
                 for blk in encode_blocks(pd_docs, pd_tfs):
                     e = off + blk["doc_count"]
+                    pos_payload = (
+                        encode_positions(pl[s0 + off : s0 + e])
+                        if positions else None
+                    )
                     rows.append(
                         (
                             term, salt, blk["kind"], blk["first_doc"],
                             blk["last_doc"], blk["doc_count"],
                             int(pd_tfs[off:e].sum()), blk["max_tf"],
                             blk["payload"], pd_norms[off:e].tobytes(),
+                            pos_payload,
                         )
                     )
                     off = e
@@ -340,13 +369,15 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int):
                 columns=[
                     "term", "salt", "kind", "first_doc", "last_doc",
                     "doc_count", "sum_tf", "max_tf", "payload", "norms",
+                    "pos",
                 ],
             )
 
     return invert
 
 
-def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
+def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int,
+                         positions: bool = False):
     """applyInPandas kernel over one (term, salt) group: the SegmentMerger
     analogue (index/SegmentMerger.java:80-133) — decode the per-partition
     chunk blocks, merge into one globally doc-sorted list, re-encode as
@@ -358,7 +389,7 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
     skip lists (SURVEY.md §4.2) and feeds WAND/MaxScore pruning.  Being
     idf-free, the encoder needs no global term statistics: exact
     term_stats are rolled up FROM the blocks afterwards."""
-    from .codec import decode_block
+    from .codec import decode_block, decode_positions, encode_positions
 
     k1f = np.float32(k1)
     bf = np.float32(b)
@@ -369,7 +400,7 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
-        d_parts, t_parts, n_parts = [], [], []
+        d_parts, t_parts, n_parts, p_parts = [], [], [], []
         for r in pdf.itertuples(index=False):
             d, t = decode_block(
                 dict(kind=r.kind, payload=r.payload, doc_count=r.doc_count,
@@ -378,11 +409,15 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
             d_parts.append(d)
             t_parts.append(t)
             n_parts.append(np.frombuffer(r.norms, dtype=np.uint8))
+            if positions:
+                p_parts.extend(decode_positions(r.pos, t))
         docs = np.concatenate(d_parts)
         tfs = np.concatenate(t_parts)
         norms = np.concatenate(n_parts)
         order = np.argsort(docs, kind="stable")
         docs, tfs, norms = docs[order], tfs[order], norms[order]
+        if positions:
+            p_parts = [p_parts[j] for j in order]
         rows = []
         blocks = encode_blocks(docs, tfs)
         freq = tfs.astype(np.float32)
@@ -402,6 +437,7 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
                     int(tfs[s:e].sum()),
                     blk["payload"],
                     norms[s:e].tobytes(),
+                    encode_positions(p_parts[s:e]) if positions else None,
                     blk["max_tf"],
                     float(ratio[s:e].max()),
                     bucket,
@@ -411,8 +447,8 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int):
             rows,
             columns=[
                 "term", "salt", "block_id", "kind", "first_doc", "last_doc",
-                "doc_count", "sum_tf", "payload", "norms_payload", "max_tf",
-                "max_ratio", "bucket",
+                "doc_count", "sum_tf", "payload", "norms_payload",
+                "pos_payload", "max_tf", "max_ratio", "bucket",
             ],
         )
 
@@ -440,9 +476,12 @@ def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig) -> No
         "doc_id", "norm_byte", "text"
     )
     chunks = docs.mapInPandas(
-        _partial_postings_factory(hot_salts, max_doc), CHUNK_SCHEMA
+        _partial_postings_factory(hot_salts, max_doc, cfg.positions),
+        CHUNK_SCHEMA,
     )
-    merge = _merge_group_factory(avgdl, cfg.k1, cfg.b, cfg.n_buckets)
+    merge = _merge_group_factory(
+        avgdl, cfg.k1, cfg.b, cfg.n_buckets, cfg.positions
+    )
     postings = chunks.groupBy("term", "salt").applyInPandas(
         merge, POSTINGS_SCHEMA
     )
@@ -517,7 +556,8 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
     store.set_params(
         index_dir,
         {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
-         "salt_df_threshold": cfg.salt_df_threshold},
+         "salt_df_threshold": cfg.salt_df_threshold,
+         "positions": cfg.positions},
     )
     if not (resume and store.stage_committed(index_dir, "docmap")):
         _stage_docmap(spark, transcripts, index_dir, cfg)

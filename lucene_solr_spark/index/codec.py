@@ -244,6 +244,39 @@ def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
     return docs, tfs.astype(np.int64)
 
 
+def encode_positions(positions: list[np.ndarray]) -> bytes:
+    """Encode per-posting position arrays (one array per posting, len=tf,
+    strictly increasing within a doc) as VByte of within-doc deltas —
+    the .pos file analogue (Lucene50PostingsWriter writes position deltas
+    the same way).  Posting boundaries are recovered from the decoded tfs."""
+    if not positions:
+        return b""
+    parts = []
+    for p in positions:
+        a = np.asarray(p, dtype=np.int64)
+        d = np.empty(a.size, dtype=np.int64)
+        if a.size:
+            d[0] = a[0]
+            d[1:] = np.diff(a)
+        parts.append(d)
+    return vbyte_encode(np.concatenate(parts).astype(np.uint64))
+
+
+def decode_positions(payload: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions given the posting tfs."""
+    total = int(np.asarray(tfs).sum())
+    if total == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(tfs))]
+    flat = vbyte_decode(payload, total).astype(np.int64)
+    out = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        seg = flat[off : off + tf]
+        out.append(np.cumsum(seg))
+        off += tf
+    return out
+
+
 def decode_posting_list(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full posting list from its ordered blocks."""
     if not blocks:

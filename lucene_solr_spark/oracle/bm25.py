@@ -25,9 +25,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..analysis import analyze
+from ..analysis.analyzer import analyze_detailed
 from .smallfloat import NORM_TABLE, norm_bytes_for_lengths
 
-# Query tree nodes: ("term", str) | ("and", [nodes]) | ("or", [nodes])
+# Query tree nodes (see query/parser.py docstring for the full grammar):
+# ("term", t) | ("and", [..]) | ("or", [..]) | ("andnot", pos, neg) |
+# ("reqopt", req, opt) | ("boost", n, f) | ("phrase", [(t, rel), ..]) |
+# ("const_or", [terms]) | multi-term nodes | ("matchnone",)
 QueryNode = tuple
 
 
@@ -57,16 +61,18 @@ class LuceneOracle:
         n = len(rows)
         lengths = np.zeros(n, dtype=np.int64)
         post: dict[str, list[tuple[int, int]]] = {}
+        pos: dict[str, list[np.ndarray]] = {}
         for doc_id, text in rows:
-            terms = analyze(text)
+            terms, positions = analyze_detailed(text)
             lengths[doc_id] = len(terms)
             if not terms:
                 continue
-            tf: dict[str, int] = {}
-            for t in terms:
-                tf[t] = tf.get(t, 0) + 1
-            for t, f in tf.items():
-                post.setdefault(t, []).append((doc_id, f))
+            occ: dict[str, list[int]] = {}
+            for t, p in zip(terms, positions):
+                occ.setdefault(t, []).append(p)
+            for t, ps in occ.items():
+                post.setdefault(t, []).append((doc_id, len(ps)))
+                pos.setdefault(t, []).append(np.array(ps, dtype=np.int64))
         self.postings = {
             t: (
                 np.array([d for d, _ in pl], dtype=np.int64),
@@ -74,6 +80,7 @@ class LuceneOracle:
             )
             for t, pl in post.items()
         }
+        self.positions = pos
         self.norm_bytes = norm_bytes_for_lengths(lengths)
         self.doc_ids = np.arange(n, dtype=np.int64)
         self.doc_count = int((lengths > 0).sum())
@@ -119,6 +126,38 @@ class LuceneOracle:
         kind = node[0]
         if kind == "term":
             return self._score_term(node[1])
+        if kind == "matchnone":
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if kind == "const_or":
+            parts = [
+                self.postings[t][0] for t in node[1] if t in self.postings
+            ]
+            docs = (
+                np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, dtype=np.int64)
+            )
+            return docs, np.ones(docs.size, dtype=np.float32)
+        if kind == "boost":
+            docs, scores = self._eval(node[1])
+            return docs, (scores * np.float32(node[2])).astype(np.float32)
+        if kind == "phrase":
+            return self._eval_phrase(node[1])
+        if kind == "andnot":
+            docs, scores = self._eval(node[1])
+            neg, _ = self._eval(node[2])
+            keep = ~np.isin(docs, neg, assume_unique=True)
+            return docs[keep], scores[keep]
+        if kind == "reqopt":
+            rd, rs = self._eval(node[1])
+            if rd.size == 0:
+                return rd, rs
+            od, os_ = self._eval(node[2])
+            total = rs.astype(np.float64)
+            if od.size:
+                m = np.isin(od, rd, assume_unique=True)
+                od, os_ = od[m], os_[m]
+                total[np.searchsorted(rd, od)] += os_.astype(np.float64)
+            return rd, total.astype(np.float32)
         children = [self._eval(c) for c in node[1]]
         if not children:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
@@ -146,8 +185,72 @@ class LuceneOracle:
             return docs, total.astype(np.float32)
         raise ValueError(f"unknown node kind {kind!r}")
 
+    def _eval_phrase(self, clauses) -> tuple[np.ndarray, np.ndarray]:
+        """ExactPhraseScorer twin of the engine (see engine._eval_phrase)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        datas = []
+        for term, rel in clauses:
+            if term not in self.postings:
+                return empty
+            datas.append((self.postings[term][0], self.positions[term], rel))
+        cand = datas[0][0]
+        for docs, _, _ in datas[1:]:
+            cand = np.intersect1d(cand, docs, assume_unique=True)
+        if cand.size == 0:
+            return empty
+        locs = [(np.searchsorted(docs, cand), pos, rel)
+                for docs, pos, rel in datas]
+        freqs = np.zeros(cand.size, dtype=np.int64)
+        for ci in range(cand.size):
+            base = locs[0][1][locs[0][0][ci]] - locs[0][2]
+            for loc, pos, rel in locs[1:]:
+                base = np.intersect1d(base, pos[loc[ci]] - rel,
+                                      assume_unique=True)
+                if base.size == 0:
+                    break
+            freqs[ci] = base.size
+        mask = freqs > 0
+        cand, freqs = cand[mask], freqs[mask]
+        if cand.size == 0:
+            return empty
+        idf_sum = np.float32(0.0)
+        for docs, _, _ in datas:
+            df = docs.size
+            dc = self.doc_count
+            idf_sum = np.float32(
+                idf_sum + np.float32(np.log(1 + (dc - df + 0.5) / (df + 0.5)))
+            )
+        k1 = np.float32(self.params.k1)
+        wv = np.float32(idf_sum * (k1 + np.float32(1.0)))
+        cache = self.norm_cache()
+        norms = cache[self.norm_bytes[cand]]
+        freq = freqs.astype(np.float32)
+        return cand, (wv * freq / (freq + norms)).astype(np.float32)
+
+    def rewrite(self, node: QueryNode | None) -> QueryNode | None:
+        """Expand multi-term nodes against this oracle's own vocabulary
+        (shared matching semantics with the engine: query/multiterm.py)."""
+        from ..query.multiterm import MULTI_TERM_KINDS, expand
+
+        if node is None:
+            return None
+        kind = node[0]
+        if kind in MULTI_TERM_KINDS:
+            terms = expand(node, sorted(self.postings))
+            return ("const_or", terms) if terms else ("matchnone",)
+        if kind in ("and", "or"):
+            return (kind, [self.rewrite(c) for c in node[1]])
+        if kind in ("andnot", "reqopt"):
+            return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
+        if kind == "boost":
+            return ("boost", self.rewrite(node[1]), node[2])
+        return node
+
     def search(self, node: QueryNode, k: int = 10) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score), tie-break score desc / docID asc."""
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
+            return []
         docs, scores = self._eval(node)
         if docs.size == 0:
             return []

@@ -133,6 +133,57 @@ class DistributedSearcher:
                 .select("doc_id", "score")
                 .withColumn("cidx", F.lit(i))
             )
+        if kind == "matchnone":
+            i = clause_idx[0]
+            clause_idx[0] += 1
+            return self.spark.createDataFrame(
+                [], "doc_id long, score float, cidx int"
+            )
+        if kind == "const_or":
+            # constant-score union (MultiTermQueryConstantScoreWrapper)
+            i = clause_idx[0]
+            clause_idx[0] += 1
+            return (
+                scored.filter(F.col("term").isin(list(node[1])))
+                .select("doc_id")
+                .distinct()
+                .select(
+                    "doc_id",
+                    F.lit(1.0).cast("float").alias("score"),
+                    F.lit(i).alias("cidx"),
+                )
+            )
+        if kind == "boost":
+            ch = self._plan(node[1], scored, clause_idx)
+            return ch.withColumn(
+                "score",
+                (F.col("score") * F.lit(float(node[2]))).cast("float"),
+            )
+        if kind == "andnot":
+            pos = self._plan(node[1], scored, clause_idx)
+            neg = self._plan(node[2], scored, clause_idx)
+            return pos.join(neg.select("doc_id"), "doc_id", "left_anti")
+        if kind == "reqopt":
+            req = self._plan(node[1], scored, clause_idx)
+            opt = self._plan(node[2], scored, clause_idx)
+            j = req.join(
+                opt.select("doc_id", F.col("score").alias("opt_s")),
+                "doc_id",
+                "left_outer",
+            )
+            return j.select(
+                "doc_id",
+                (
+                    F.col("score").cast("double")
+                    + F.coalesce(F.col("opt_s").cast("double"), F.lit(0.0))
+                ).cast("float").alias("score"),
+                "cidx",
+            )
+        if kind == "phrase":
+            raise NotImplementedError(
+                "phrase queries run on the serving path (LocalSearcher); "
+                "the distributed executor covers term/boolean/expansion nodes"
+            )
         children = [self._plan(c, scored, clause_idx) for c in node[1]]
         if kind == "and":
             acc = children[0].select(
@@ -169,12 +220,61 @@ class DistributedSearcher:
             )
         raise ValueError(kind)
 
+    # ---------------------------------------------------------- rewrite
+    def rewrite(self, node):
+        """Expand multi-term nodes with DataFrame-native predicates on the
+        term dictionary (SURVEY.md §2.2: terms.filter(startswith / rlike /
+        levenshtein <= n)); fuzzy falls back to the shared OSA helper for
+        exact FuzzyQuery transposition semantics."""
+        from .multiterm import MULTI_TERM_KINDS, expand_fuzzy, wildcard_regex
+
+        if node is None:
+            return None
+        kind = node[0]
+        if kind in MULTI_TERM_KINDS:
+            t = F.col("term")
+            if kind == "prefix":
+                cond = t.startswith(node[1])
+            elif kind == "wildcard":
+                cond = t.rlike(f"^(?:{wildcard_regex(node[1]).pattern})$")
+            elif kind == "regexp":
+                cond = t.rlike(f"^(?:{node[1]})$")
+            elif kind == "range":
+                lo, hi, il, ih = node[1], node[2], node[3], node[4]
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (t >= lo if il else t > lo)
+                if hi is not None:
+                    cond = cond & (t <= hi if ih else t < hi)
+            else:  # fuzzy: cheap levenshtein prefilter, exact OSA verify
+                cand = [
+                    r["term"]
+                    for r in self._term_stats.filter(
+                        F.levenshtein(t, F.lit(node[1])) <= node[2] + 1
+                    ).select("term").collect()
+                ]
+                terms = expand_fuzzy(cand, node[1], node[2])
+                return ("const_or", terms) if terms else ("matchnone",)
+            terms = sorted(
+                r["term"]
+                for r in self._term_stats.filter(cond).select("term").collect()
+            )
+            return ("const_or", terms) if terms else ("matchnone",)
+        if kind in ("and", "or"):
+            return (kind, [self.rewrite(c) for c in node[1]])
+        if kind in ("andnot", "reqopt"):
+            return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
+        if kind == "boost":
+            return ("boost", self.rewrite(node[1]), node[2])
+        return node
+
     # ------------------------------------------------------------- api
     def search_df(self, query, k: int = 10) -> DataFrame:
         """Top-k as a DataFrame(doc_id long, score float) — composable
         with join-back to the source table (stored-fields fetch)."""
         node = parse_query(query) if isinstance(query, str) else query
-        if node is None:
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
             return self.spark.createDataFrame([], "doc_id long, score float")
         terms = _terms_of(node)
         scored = self._scored_terms_df(terms)
@@ -208,8 +308,19 @@ class DistributedSearcher:
 
 
 def _terms_of(node) -> list[str]:
-    if node[0] == "term":
+    kind = node[0]
+    if kind == "term":
         return [node[1]]
+    if kind == "const_or":
+        return list(node[1])
+    if kind == "matchnone":
+        return []
+    if kind in ("andnot", "reqopt"):
+        return _terms_of(node[1]) + _terms_of(node[2])
+    if kind == "boost":
+        return _terms_of(node[1])
+    if kind == "phrase":
+        return [t for t, _ in node[1]]
     out = []
     for c in node[1]:
         out.extend(_terms_of(c))

@@ -76,6 +76,22 @@ class _TermPostings:
             self._decoded[idx] = got
         return got
 
+    def decode_positions_all(self):
+        """(docs, tfs, norms, positions list-per-posting) over all blocks;
+        requires an index built with BuildConfig(positions=True)."""
+        from ..index.codec import decode_positions
+
+        docs, tfs, norms = self.decode_all()
+        pos: list[np.ndarray] = []
+        for i, b in enumerate(self.blocks):
+            if b.get("pos_payload") is None:
+                raise ValueError(
+                    f"term {self.term!r}: index has no positions "
+                    "(build with BuildConfig(positions=True) for phrase queries)"
+                )
+            pos.extend(decode_positions(b["pos_payload"], self.decode(i)[1]))
+        return docs, tfs, norms, pos
+
     def decode_blocks(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if len(idxs) == 0:
             return (
@@ -179,21 +195,153 @@ class LocalSearcher:
         wv = self._weight_value(tp.n_docs)
         return docs[mask], self._score_arrays(tfs[mask], norms[mask], wv)
 
+    # ---------------------------------------------------------- rewrite
+    def _all_terms(self) -> list[str]:
+        if not hasattr(self, "_terms_list"):
+            t = pq.read_table(
+                os.path.join(self.index_dir, "term_stats"), columns=["term"]
+            )
+            self._terms_list = t.column("term").to_pylist()
+        return self._terms_list
+
+    def rewrite(self, node):
+        """Fixpoint-free single-pass rewrite (IndexSearcher.rewrite
+        analogue): expand multi-term nodes against the term dictionary
+        into constant-score unions (MultiTermQueryConstantScoreWrapper)."""
+        from .multiterm import MULTI_TERM_KINDS, expand
+
+        if node is None:
+            return None
+        kind = node[0]
+        if kind in MULTI_TERM_KINDS:
+            terms = expand(node, self._all_terms())
+            if not terms:
+                return ("matchnone",)
+            return ("const_or", terms)
+        if kind in ("and", "or"):
+            return (kind, [self.rewrite(c) for c in node[1]])
+        if kind in ("andnot", "reqopt"):
+            return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
+        if kind == "boost":
+            return ("boost", self.rewrite(node[1]), node[2])
+        return node
+
     # ------------------------------------------------------------- eval
     def _collect_terms(self, node) -> list[str]:
         if node is None:
             return []
-        if node[0] == "term":
+        kind = node[0]
+        if kind == "term":
             return [node[1]]
+        if kind == "const_or":
+            return list(node[1])
+        if kind == "phrase":
+            return [t for t, _ in node[1]]
+        if kind == "matchnone":
+            return []
+        if kind in ("andnot", "reqopt"):
+            return self._collect_terms(node[1]) + self._collect_terms(node[2])
+        if kind == "boost":
+            return self._collect_terms(node[1])
         out = []
         for c in node[1]:
             out.extend(self._collect_terms(c))
         return out
 
+    def _docs_of(self, node) -> np.ndarray:
+        """Matching docIDs only (no scores) — the FILTER / MUST_NOT path
+        (BooleanQuery needsScores=false, BooleanQuery.java:184-205)."""
+        docs, _ = self._eval(node)
+        return docs
+
+    def _eval_phrase(self, clauses) -> tuple[np.ndarray, np.ndarray]:
+        """ExactPhraseScorer semantics (search/ExactPhraseScorer.java):
+        freq = number of phrase start positions; idf = SUM of per-clause
+        idfs (BM25Similarity.idfExplain over the termStats array);
+        score = weight * freq / (freq + cache[norm])."""
+        datas = []
+        for term, rel in clauses:
+            tp = self._term_cache[term]
+            if not tp.blocks:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            datas.append((tp.decode_positions_all(), rel))
+        # intersect candidate docs across clauses
+        cand = datas[0][0][0]
+        for (docs, _, _, _), _ in datas[1:]:
+            cand = np.intersect1d(cand, docs, assume_unique=False)
+        if cand.size == 0:
+            return cand, np.empty(0, np.float32)
+        # per-candidate positional intersection
+        idx_per = [
+            (np.searchsorted(docs, cand), pos, rel, norms)
+            for (docs, _, norms, pos), rel in datas
+        ]
+        freqs = np.zeros(cand.size, dtype=np.int64)
+        for ci in range(cand.size):
+            base = idx_per[0][1][idx_per[0][0][ci]] - idx_per[0][2]
+            for loc, pos, rel, _ in idx_per[1:]:
+                base = np.intersect1d(base, pos[loc[ci]] - rel,
+                                      assume_unique=True)
+                if base.size == 0:
+                    break
+            freqs[ci] = base.size
+        mask = freqs > 0
+        cand, freqs = cand[mask], freqs[mask]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float32)
+        # idf sum over clauses (duplicates included, like termStats[])
+        idf_sum = np.float32(0.0)
+        for (docs, _, _, _), _ in datas:
+            df = docs.size
+            idf_sum = np.float32(
+                idf_sum
+                + np.float32(np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5)))
+            )
+        wv = np.float32(idf_sum * (self.k1 + np.float32(1.0)))
+        norms0 = datas[0][0][2][np.searchsorted(datas[0][0][0], cand)]
+        freq = freqs.astype(np.float32)
+        scores = (wv * freq / (freq + self.cache[norms0])).astype(np.float32)
+        return cand, scores
+
     def _eval(self, node) -> tuple[np.ndarray, np.ndarray]:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
+        if kind == "matchnone":
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if kind == "const_or":
+            # MultiTermQueryConstantScoreWrapper: every matching doc
+            # scores the boost (1.0 here; boost applies via the boost node)
+            parts = [self._term_cache[t].decode_all()[0] for t in node[1]]
+            docs = (
+                np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64)
+            )
+            return docs, np.ones(docs.size, dtype=np.float32)
+        if kind == "boost":
+            docs, scores = self._eval(node[1])
+            return docs, (scores * np.float32(node[2])).astype(np.float32)
+        if kind == "phrase":
+            return self._eval_phrase(node[1])
+        if kind == "andnot":
+            docs, scores = self._eval(node[1])
+            if docs.size == 0:
+                return docs, scores
+            neg = self._docs_of(node[2])
+            keep = ~np.isin(docs, neg, assume_unique=True)
+            return docs[keep], scores[keep]
+        if kind == "reqopt":
+            # ReqOptSumScorer: required docs, + optional score where present
+            rd, rs = self._eval(node[1])
+            if rd.size == 0:
+                return rd, rs
+            od, os_ = self._eval(node[2])
+            total = rs.astype(np.float64)
+            if od.size:
+                m = np.isin(od, rd, assume_unique=True)
+                od, os_ = od[m], os_[m]
+                total[np.searchsorted(rd, od)] += os_.astype(np.float64)
+            return rd, total.astype(np.float32)
         children = node[1]
         if kind == "and":
             # cost order: cheapest df leads (ConjunctionDISI discipline)
@@ -302,7 +450,8 @@ class LocalSearcher:
     # ------------------------------------------------------------- api
     def search(self, query, k: int = 10) -> list[tuple[int, float]]:
         node = parse_query(query) if isinstance(query, str) else query
-        if node is None:
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
             return []
         terms = self._collect_terms(node)
         self._load_terms(terms)

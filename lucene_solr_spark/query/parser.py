@@ -1,15 +1,38 @@
-"""Boolean query parser for the north-star surface: terms, AND/&&, OR/||,
-parentheses, with classic-QueryParser analysis of query text.
+"""Boolean query parser: the classic-QueryParser surface re-expressed.
 
-Grammar subset of lucene/queryparser/.../classic/QueryParser.jj:196-226;
-query atoms run through the same analyzer as indexing, so stopwords vanish
-(an all-stopword query is empty -> matches nothing) and atoms that analyze
-to multiple terms become an implicit OR of those terms.
+Grammar subset of lucene/queryparser/.../classic/QueryParser.jj:196-226:
+
+    terms, AND/&&, OR/||, NOT/!/-, +, parentheses,
+    "exact phrase" (slop ~n parsed but rejected: SloppyPhraseScorer's
+    repeat-handling semantics are not reimplemented in v1),
+    wild*card / wild?card, prefix*, fuzzy~[n], /regexp/,
+    [lo TO hi] / {lo TO hi} term ranges, clause^boost.
+
+Query atoms run through the same analyzer as indexing, so stopwords
+vanish (an all-stopword query is empty -> matches nothing) and atoms
+that analyze to multiple terms become an implicit OR of those terms.
+Multi-term atoms (wildcard/prefix/fuzzy/regexp/range) are lowercased but
+NOT analyzed, exactly like the classic parser's
+``getWildcardQuery``/``getRangeQuery`` (QueryParser lowercases by
+default, no analysis chain); they rewrite against the term dictionary
+at search time into constant-score matches
+(MultiTermQueryConstantScoreWrapper — Lucene 7.0's default
+CONSTANT_SCORE_REWRITE).
 
 Output: the oracle/engine query tree
-    ("term", t) | ("and", [nodes]) | ("or", [nodes])
+    ("term", t)
+  | ("and", [nodes]) | ("or", [nodes])
+  | ("andnot", pos_node, neg_node)        # MUST_NOT / ReqExclScorer
+  | ("reqopt", req_node, opt_node)        # '+' in an OR context / ReqOptSumScorer
+  | ("boost", node, factor)               # BoostQuery
+  | ("phrase", [(term, rel_pos), ...])    # PhraseQuery (exact), analyzer
+                                          #   position gaps preserved
+  | ("prefix", p) | ("wildcard", pat) | ("fuzzy", term, max_edits)
+  | ("regexp", pat) | ("range", lo, hi, incl_lo, incl_hi)
+  | ("matchnone",)                        # pure-negative query
 with single-clause boolean nodes collapsed (BooleanQuery.java:208-234
-one-clause rewrite).
+one-clause rewrite; pure-negative -> MatchNoDocsQuery per
+BooleanQuery.java:208-234 rewrite rules).
 """
 
 from __future__ import annotations
@@ -17,8 +40,17 @@ from __future__ import annotations
 import re
 
 from ..analysis import analyze_query_terms
+from ..analysis.analyzer import analyze_detailed
 
-_TOKENS_RE = re.compile(r"\(|\)|&&|\|\||[^\s()]+")
+_TOKENS_RE = re.compile(
+    r'"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?'   # quoted phrase [+slop][+boost]
+    r"|/[^/]*/(?:\^[0-9.]+)?"           # regexp [+boost]
+    r"|\(|\)|&&|\|\||!|\+(?=[^\s])|-(?=[^\s])"
+    r"|[^\s()!]+"
+)
+
+_FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
+_BOOST_RE = re.compile(r"^(.+?)\^([0-9]+(?:\.[0-9]+)?)$")
 
 
 class QueryParseError(ValueError):
@@ -44,35 +76,69 @@ class _Parser:
 
     # or_expr := and_expr ((OR | <juxtaposition>) and_expr)*
     # juxtaposed clauses use the default operator OR (QueryParser default
-    # operator SHOULD, QueryParser.jj)
+    # operator SHOULD, QueryParser.jj).  '+' clauses become required
+    # (ReqOptSumScorer); '-'/NOT clauses become prohibited (ReqExclScorer).
     def parse_or(self):
-        parts = [self.parse_and()]
+        shoulds, musts, must_nots = [], [], []
+        first = True
         while True:
             t = self.peek()
-            if t in ("OR", "||"):
-                self.next()
-                parts.append(self.parse_and())
-            elif t is not None and t != ")":
-                parts.append(self.parse_and())
-            else:
+            if not first and t not in ("OR", "||") and (t is None or t == ")"):
                 break
-        parts = [p for p in parts if p is not None]
-        if not parts:
-            return None
-        return parts[0] if len(parts) == 1 else ("or", parts)
+            if not first and t in ("OR", "||"):
+                self.next()
+            occur, node = self.parse_and()
+            first = False
+            if node is None:
+                continue
+            (musts if occur == "+" else
+             must_nots if occur == "-" else shoulds).append(node)
+        pos: tuple | None
+        if musts and shoulds:
+            pos = ("reqopt", _combine("and", musts), _combine("or", shoulds))
+        elif musts:
+            pos = _combine("and", musts)
+        else:
+            pos = _combine("or", shoulds)
+        if must_nots:
+            if pos is None:
+                return ("matchnone",)  # pure negative (BooleanQuery rewrite)
+            return ("andnot", pos, _combine("or", must_nots))
+        return pos
 
-    # and_expr := atom (AND atom)*
+    # and_expr := unary (AND unary)*; returns (occur, node) where occur is
+    # the leading clause modifier of the FIRST unary ('+', '-', or '')
     def parse_and(self):
-        parts = [self.parse_atom()]
+        occur, first_node = self.parse_unary()
+        parts = [first_node]
+        negs = []
         while self.peek() in ("AND", "&&"):
             self.next()
-            parts.append(self.parse_atom())
+            o2, n2 = self.parse_unary()
+            if n2 is None:
+                continue
+            (negs if o2 == "-" else parts).append(n2)
         kept = [p for p in parts if p is not None]
-        if len(parts) > 1 and not kept:
-            return None
-        if not kept:
-            return None
-        return kept[0] if len(kept) == 1 else ("and", kept)
+        node = _combine("and", kept)
+        if negs:
+            if node is None:
+                return occur, ("matchnone",)
+            node = ("andnot", node, _combine("or", negs))
+        return occur, node
+
+    # unary := ('+'|'-'|'!'|NOT) unary | atom
+    def parse_unary(self):
+        t = self.peek()
+        if t in ("NOT", "!", "-"):
+            self.next()
+            occur, node = self.parse_unary()
+            # NOT NOT x == x (double negation at the clause level)
+            return ("" if occur == "-" else "-"), node
+        if t == "+":
+            self.next()
+            _, node = self.parse_unary()
+            return "+", node
+        return "", self.parse_atom()
 
     def parse_atom(self):
         t = self.peek()
@@ -83,16 +149,97 @@ class _Parser:
             node = self.parse_or()
             if self.next() != ")":
                 raise QueryParseError("expected ')'")
-            return node
+            return self._maybe_boost(node)
         if t == ")":
             raise QueryParseError("unexpected ')'")
         self.next()
+        return self._atom_node(t)
+
+    def _maybe_boost(self, node):
+        t = self.peek()
+        if node is not None and t and _BOOST_RE.match("x" + t) and t.startswith("^"):
+            self.next()
+            return ("boost", node, float(t[1:]))
+        return node
+
+    def _atom_node(self, t: str):
+        boost = None
+        m = _BOOST_RE.match(t)
+        if m and not t.startswith("[") and not t.startswith("{"):
+            t, boost = m.group(1), float(m.group(2))
+
+        node = self._bare_atom(t)
+        if node is not None and boost is not None:
+            node = ("boost", node, boost)
+        return node
+
+    def _bare_atom(self, t: str):
+        # quoted phrase
+        if t.startswith('"'):
+            m = re.match(r'^"([^"]*)"(?:~(\d+))?$', t)
+            if not m:
+                raise QueryParseError(f"bad phrase {t!r}")
+            body, slop = m.group(1), m.group(2)
+            if slop and int(slop) > 0:
+                raise QueryParseError(
+                    "sloppy phrase (~n) not supported; exact phrases only"
+                )
+            terms, poss = analyze_detailed(body)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return ("term", terms[0])  # 1-term phrase -> TermQuery
+            base = poss[0]
+            return ("phrase", [(tm, p - base) for tm, p in zip(terms, poss)])
+        # regexp
+        if t.startswith("/") and t.endswith("/") and len(t) >= 2:
+            return ("regexp", t[1:-1].lower())
+        # term range
+        if t[0] in "[{":
+            toks = [t]
+            while toks[-1][-1] not in "]}":
+                nxt = self.next()
+                if nxt is None:
+                    raise QueryParseError("unterminated range")
+                toks.append(nxt)
+            joined = " ".join(toks)
+            m = re.match(r"^([\[{])(\S+) TO (\S+)([\]}])$", joined)
+            if not m:
+                raise QueryParseError(f"bad range {joined!r}")
+            lo = None if m.group(2) == "*" else m.group(2).lower()
+            hi = None if m.group(3) == "*" else m.group(3).lower()
+            return ("range", lo, hi, m.group(1) == "[", m.group(4) == "]")
+        # fuzzy
+        m = _FUZZY_RE.match(t)
+        if m and "*" not in t and "?" not in t:
+            edits = int(m.group(2)) if m.group(2) else 2
+            if edits > 2:
+                raise QueryParseError("fuzzy maxEdits <= 2 (FuzzyQuery)")
+            if edits == 0:
+                return ("term", m.group(1).lower())
+            return ("fuzzy", m.group(1).lower(), edits)
+        # wildcard / prefix
+        if "*" in t or "?" in t:
+            low = t.lower()
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                return ("prefix", low[:-1])
+            return ("wildcard", low)
+        # plain term(s) through the analyzer
         terms = analyze_query_terms(t)
         if not terms:
             return None  # stopword / too-long atom: removed by analysis
         if len(terms) == 1:
             return ("term", terms[0])
         return ("or", [("term", x) for x in terms])
+
+
+def _combine(kind: str, nodes: list):
+    nodes = [n for n in nodes if n is not None]
+    if not nodes:
+        return None
+    if len(nodes) == 1:
+        return nodes[0]
+    return (kind, nodes)
 
 
 def parse_query(text: str):

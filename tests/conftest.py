@@ -40,7 +40,7 @@ def index_dir(spark, tmp_path_factory):
 
     d = str(tmp_path_factory.mktemp("index") / "smoke")
     df = gen_transcripts_df(spark, n_convs=40, seed=42)
-    build_index(spark, df, d, BuildConfig(n_buckets=4))
+    build_index(spark, df, d, BuildConfig(n_buckets=4, positions=True))
     yield d
     shutil.rmtree(d, ignore_errors=True)
 

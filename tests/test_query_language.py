@@ -1,0 +1,164 @@
+"""Extended query language: parser shapes + rank-identity vs the oracle
+for phrase / NOT / +required / boost / multi-term expansion queries
+(TestBoolean2-style cross-implementation equivalence)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.query.multiterm import (
+    expand_fuzzy, expand_prefix, expand_range, expand_wildcard, osa_distance,
+)
+from lucene_solr_spark.query.parser import QueryParseError, parse_query
+
+pytestmark = pytest.mark.spark
+
+
+# ------------------------------------------------------------- parser
+
+
+def test_parser_shapes():
+    assert parse_query("cat AND dog") == (
+        "and", [("term", "cat"), ("term", "dog")]
+    )
+    assert parse_query("cat -dog") == (
+        "andnot", ("term", "cat"), ("term", "dog")
+    )
+    assert parse_query("cat NOT dog") == (
+        "andnot", ("term", "cat"), ("term", "dog")
+    )
+    assert parse_query("cat AND NOT dog") == (
+        "andnot", ("term", "cat"), ("term", "dog")
+    )
+    assert parse_query("+cat dog") == (
+        "reqopt", ("term", "cat"), ("term", "dog")
+    )
+    assert parse_query("cat^2.5") == ("boost", ("term", "cat"), 2.5)
+    assert parse_query('"big cat"') == (
+        "phrase", [("big", 0), ("cat", 1)]
+    )
+    # stopword inside a phrase leaves a position gap
+    assert parse_query('"big the cat"') == (
+        "phrase", [("big", 0), ("cat", 2)]
+    )
+    assert parse_query("ca*") == ("prefix", "ca")
+    assert parse_query("c?t*x") == ("wildcard", "c?t*x")
+    assert parse_query("cat~1") == ("fuzzy", "cat", 1)
+    assert parse_query("cat~") == ("fuzzy", "cat", 2)
+    assert parse_query("cat~0") == ("term", "cat")
+    assert parse_query("/ca+t/") == ("regexp", "ca+t")
+    assert parse_query("[aa TO bb]") == ("range", "aa", "bb", True, True)
+    assert parse_query("{aa TO *}") == ("range", "aa", None, False, False)
+    assert parse_query("-cat") == ("matchnone",)  # pure negative
+    assert parse_query("the of") is None  # all stopwords
+    with pytest.raises(QueryParseError):
+        parse_query('"big cat"~2')  # sloppy unsupported
+    with pytest.raises(QueryParseError):
+        parse_query("cat~3")
+
+
+def test_multiterm_helpers():
+    vocab = ["bake", "baker", "bakers", "cake", "lake", "beak"]
+    assert expand_prefix(vocab, "bak") == ["bake", "baker", "bakers"]
+    assert expand_wildcard(vocab, "?ake") == ["bake", "cake", "lake"]
+    assert expand_range(vocab, "bake", "cake", True, False) == [
+        "bake", "baker", "bakers", "beak"
+    ]
+    assert osa_distance("abcd", "abdc", 2) == 1  # transposition counts 1
+    assert osa_distance("bake", "beak", 2) == 2  # two swaps
+    assert expand_fuzzy(vocab, "bake", 1) == ["bake", "baker", "cake", "lake"]
+    assert expand_fuzzy(vocab, "bake", 2) == ["bake", "baker", "bakers",
+                                              "beak", "cake", "lake"]
+
+
+# ---------------------------------------------------- rank identity
+
+
+def _assert_identical(searcher, oracle, query_text):
+    node = parse_query(query_text)
+    got = searcher.search(node, 10)
+    want = oracle.search(node, 10)
+    assert [(d, np.float32(s)) for d, s in got] == [
+        (d, np.float32(s)) for d, s in want
+    ], query_text
+
+
+@pytest.fixture(scope="module")
+def searcher(index_dir):
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    return LocalSearcher(index_dir)
+
+
+QUERIES = [
+    # phrases, incl. tie-pool duplicates (exact score ties -> docID order)
+    '"retry deploy"',
+    '"retry deploy pipeline"',
+    '"fix test flake"',
+    '"cache miss again"',
+    # boolean with NOT
+    "retry -deploy",
+    "retry AND NOT pipeline",
+    "cache NOT miss",
+    # required + optional
+    "+retry deploy",
+    "+cache miss pipeline",
+    # boosts
+    "retry^2 OR deploy",
+    "(retry AND deploy)^0.5 OR cache",
+    # expansions (constant score)
+    "ba*",
+    "re*",
+    "?ake*",
+    "retry~1",
+    "deploy~2",
+    "/de.*y/",
+    "[baba TO bace]",
+    "{ba TO bd}",
+    # mixes
+    'retry AND "fix test flake"',
+    '"retry deploy" OR cache^1.5',
+    "ba* AND retry",
+]
+
+
+def test_rank_identity_extended(searcher, oracle):
+    for q in QUERIES:
+        _assert_identical(searcher, oracle, q)
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    from lucene_solr_spark.index.builder import BuildConfig, build_index
+    from lucene_solr_spark.query.engine import LocalSearcher
+    from lucene_solr_spark.sources import gen_transcripts_df
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "nopos")
+    build_index(spark, gen_transcripts_df(spark, n_convs=5, seed=3), d,
+                BuildConfig(n_buckets=2, positions=False))
+    s = LocalSearcher(d)
+    ts = (
+        pq.read_table(os.path.join(d, "term_stats"))
+        .to_pandas()
+        .sort_values("doc_freq", ascending=False)
+    )
+    node = ("phrase", [(str(ts["term"].iloc[0]), 0),
+                       (str(ts["term"].iloc[1]), 1)])
+    with pytest.raises(ValueError, match="positions"):
+        s.search(node, 10)
+
+
+def test_distributed_extended(spark, index_dir, oracle):
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    ds = DistributedSearcher(spark, index_dir)
+    for q in ["retry -deploy", "ba*", "retry~1", "+retry deploy",
+              "retry^2 OR deploy", "[baba TO bace]"]:
+        node = parse_query(q)
+        got = ds.search(node, 10)
+        want = oracle.search(node, 10)
+        assert [(d_, np.float32(s)) for d_, s in got] == [
+            (d_, np.float32(s)) for d_, s in want
+        ], q
