@@ -92,35 +92,48 @@ def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or resume) the gate index for a testdata dir; idempotent."""
+    """Build (or resume) the gate index for a testdata dir; idempotent.
+    Rebuilds from scratch if a stale index was built with different
+    params (e.g. without positions)."""
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     idx = os.path.join(_GATE_ROOT, tag)
     from lucene_solr_spark.index import store
 
+    if store.stage_committed(idx, "lineage") and not store.get_params(idx).get(
+        "positions"
+    ):
+        shutil.rmtree(idx, ignore_errors=True)
     if not store.stage_committed(idx, "lineage"):
         build_index(
             spark,
             _documents_as_transcripts(spark, sf_dir),
             idx,
-            BuildConfig(n_buckets=4, k1=K1, b=B),
+            BuildConfig(n_buckets=4, k1=K1, b=B, positions=True),
         )
     return idx
 
 
-def _decoded_postings(spark: SparkSession, idx: str, terms: list[str]) -> DataFrame:
-    """DF(term, doc_id, tf int) decoded from the index blocks for terms."""
+def _decoded_postings(spark: SparkSession, idx: str, terms: list[str],
+                      positions: bool = False) -> DataFrame:
+    """DF(term, doc_id, tf int[, pos array<long>]) decoded from the index
+    blocks for the given terms (partition-pruned scan)."""
     import pandas as pd
 
     from lucene_solr_spark.index.builder import term_bucket
-    from lucene_solr_spark.index.codec import decode_block
+    from lucene_solr_spark.index.codec import decode_block, decode_positions
 
     n_buckets = 4
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    cols = ["term", "salt", "block_id", "kind", "first_doc", "doc_count",
+            "payload"]
+    if positions:
+        cols.append("pos_payload")
     post = (
         spark.read.parquet(os.path.join(idx, "postings"))
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(sorted(terms)))
-        .select("term", "salt", "block_id", "kind", "first_doc", "doc_count",
-                "payload")
+        .select(*cols)
     )
 
     def dec(batches):
@@ -131,13 +144,17 @@ def _decoded_postings(spark: SparkSession, idx: str, terms: list[str]) -> DataFr
                     dict(kind=r.kind, payload=r.payload, doc_count=r.doc_count,
                          first_doc=r.first_doc, block_id=r.block_id)
                 )
-                outs.append(pd.DataFrame(
-                    {"term": r.term, "doc_id": docs, "tf": tfs.astype("int32")}
-                ))
+                d = {"term": r.term, "doc_id": docs, "tf": tfs.astype("int32")}
+                if positions:
+                    d["pos"] = decode_positions(r.pos_payload, tfs)
+                outs.append(pd.DataFrame(d))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return post.mapInPandas(dec, "term string, doc_id long, tf int")
+    schema = "term string, doc_id long, tf int"
+    if positions:
+        schema += ", pos array<long>"
+    return post.mapInPandas(dec, schema)
 
 
 def _bm25_base(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
@@ -189,6 +206,75 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   WHERE tf.term = '{term}'
 ) ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+# ------------------------------------------------------ phrase (positions)
+
+_PHRASE = ("table", "hash")  # frequent adjacent bigram in the documents corpus
+
+
+def _phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored exact phrase query THROUGH the positional index:
+    decode positions, adjacency-intersect JVM-side
+    (array_intersect(pos_a+1, pos_b)), score with summed idfs and the
+    phrase freq (ExactPhraseScorer + BM25Similarity semantics, double
+    precision for the DuckDB twin)."""
+    t1, t2 = _PHRASE
+    idx = _ensure_index(spark, sf_dir)
+    tp = _decoded_postings(spark, idx, [t1, t2], positions=True)
+    a = tp.filter(F.col("term") == t1).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = tp.filter(F.col("term") == t2).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    ts = spark.read.parquet(os.path.join(idx, "term_stats")).filter(
+        F.col("term").isin([t1, t2])
+    ).collect()
+    dfs = {r["term"]: int(r["doc_freq"]) for r in ts}
+    fs = spark.read.parquet(os.path.join(idx, "field_stats")).collect()[0]
+    dc = int(fs["doc_count"])
+    avgdl = float(fs["sum_total_term_freq"]) / dc
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (dc - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in (t1, t2)
+    )
+    dl = spark.read.parquet(os.path.join(idx, "docmap")).select("doc_id", "dl")
+    joined = (
+        a.join(b, "doc_id")
+        .withColumn(
+            "freq",
+            F.size(
+                F.array_intersect(
+                    F.transform(F.col("pos_a"), lambda p: p + 1),
+                    F.col("pos_b"),
+                )
+            ),
+        )
+        .filter(F.col("freq") > 0)
+        .join(dl, "doc_id")
+        .withColumn(
+            "score",
+            F.lit(idf_sum)
+            * F.lit(K1 + 1.0)
+            * F.col("freq").cast("double")
+            / (
+                F.col("freq").cast("double")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return joined.select("doc_id", "freq", "score")
+
+
+# ----------------------------------------------- relational stream family
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # --------------------------------------------------------------- contract
@@ -374,6 +460,200 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("vec_id", F.round("raw", 4).alias("cosine"))
         )
 
+    # ------------------------------------------------- phrase / positions
+    def phrase_query(spark, sf):
+        return (
+            _phrase_scored(spark, sf)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "freq", F.round("score", 4).alias("score"))
+        )
+
+    # --------------------------------------------- Solr stream operators
+    from lucene_solr_spark.operators import (
+        complement, facet, fetch, group_topk, hash_join, having, inner_join,
+        intersect, merge, rank, rollup, select, stats, unique,
+    )
+
+    def stream_select_having(spark, sf):
+        o = _tbl(spark, sf, "orders")
+        s = select(o, "o_orderkey", total="o_totalprice",
+                   year="year(o_orderdate)")
+        return having(s, "total > 400000")
+
+    def stream_rollup(spark, sf):
+        # decimal casts -> EXACT money sums (double accumulation order
+        # differs between engines; decimals hash-match bit-for-bit)
+        li = _tbl(spark, sf, "lineitem").withColumns(
+            {
+                "l_quantity": F.col("l_quantity").cast("decimal(18,2)"),
+                "l_extendedprice": F.col("l_extendedprice").cast("decimal(18,2)"),
+            }
+        )
+        return rollup(
+            li, ["l_returnflag", "l_linestatus"],
+            sum=["l_quantity", "l_extendedprice"], avg=["l_discount"],
+            count=[],
+        ).select(
+            "l_returnflag", "l_linestatus",
+            F.col("sum_l_quantity").cast("double").alias("sum_qty"),
+            F.col("sum_l_extendedprice").cast("double").alias("sum_price"),
+            F.round("avg_l_discount", 6).alias("avg_disc"),
+            "count_rows",
+        )
+
+    def stream_stats(spark, sf):
+        li = _tbl(spark, sf, "lineitem").withColumn(
+            "l_quantity", F.col("l_quantity").cast("decimal(18,2)")
+        )
+        return stats(
+            li, sum=["l_quantity"], min=["l_shipdate"], max=["l_shipdate"],
+            count=[],
+        ).select(
+            F.col("sum_l_quantity").cast("double").alias("sum_qty"),
+            "min_l_shipdate", "max_l_shipdate", "count_rows",
+        )
+
+    def stream_unique(spark, sf):
+        c = _tbl(spark, sf, "customer")
+        return unique(c.select("c_mktsegment"), ["c_mktsegment"])
+
+    def stream_rank(spark, sf):
+        o = _tbl(spark, sf, "orders")
+        return rank(
+            o.select("o_orderkey", "o_totalprice"),
+            [F.desc("o_totalprice"), F.asc("o_orderkey")], 10,
+        )
+
+    def stream_merge_rank(spark, sf):
+        o = _tbl(spark, sf, "orders")
+        parts = [
+            o.filter(F.col("o_orderstatus") == s_)
+            for s_ in ("O", "F", "P")
+        ]
+        m = merge(parts)
+        return rank(
+            m.select("o_orderkey", "o_orderstatus"),
+            [F.asc("o_orderkey")], 20,
+        )
+
+    def stream_intersect(spark, sf):
+        c = _tbl(spark, sf, "customer")
+        o = _tbl(spark, sf, "orders")
+        return intersect(
+            c.select("c_custkey", "c_name"),
+            o.select(F.col("o_custkey").alias("c_custkey")),
+            ["c_custkey"],
+        )
+
+    def stream_complement(spark, sf):
+        # customers with no high-value order (non-empty complement)
+        c = _tbl(spark, sf, "customer")
+        o = _tbl(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+        return complement(
+            c.select("c_custkey", "c_name"),
+            o.select(F.col("o_custkey").alias("c_custkey")),
+            ["c_custkey"],
+        )
+
+    def stream_inner_join(spark, sf):
+        o = _tbl(spark, sf, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+        )
+        c = _tbl(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+        j = inner_join(
+            o.withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+            ),
+            c, ["c_custkey"],
+        )
+        return rollup(j, ["c_mktsegment"], sum=["o_totalprice"]).select(
+            "c_mktsegment",
+            F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        )
+
+    def stream_hash_join_fetch(spark, sf):
+        o = _tbl(spark, sf, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+        )
+        c = _tbl(spark, sf, "customer")
+        f1 = fetch(o, c, ["c_custkey"], ["c_name"])
+        top = rank(f1, [F.asc("o_orderkey")], 15)
+        return top.select("o_orderkey", "c_custkey", "c_name")
+
+    def stream_facet(spark, sf):
+        e = _tbl(spark, sf, "events")
+        return facet(
+            e, ["event_type"], {"count": [], "sum": ["value"]},
+            [F.desc("count_rows"), F.asc("event_type")], 5,
+        ).select("event_type", "count_rows",
+                 F.round("sum_value", 2).alias("sum_value"))
+
+    def stream_group_topk(spark, sf):
+        o = _tbl(spark, sf, "orders")
+        return group_topk(
+            o.select("o_custkey", "o_orderkey", "o_totalprice"),
+            ["o_custkey"],
+            [F.desc("o_totalprice"), F.asc("o_orderkey")],
+            2,
+        )
+
+    def agg_percentile_distinct(spark, sf):
+        li = _tbl(spark, sf, "lineitem")
+        return li.agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+
+    # ------------------------------------------- training-data operators
+    from lucene_solr_spark.operators.ann import hyperplanes, lsh_ann_topk
+    from lucene_solr_spark.operators.dedup import (
+        jaccard_pairs, lsh_bands, minhash_signature, near_dup_pairs, simhash,
+        word_shingles,
+    )
+    from lucene_solr_spark.operators.textops import (
+        fingerprint, langid, quality_score, text_features,
+    )
+
+    def dedup_minhash_sig(spark, sf):
+        d = _tbl(spark, sf, "documents")
+        return minhash_signature(word_shingles(d, 3))
+
+    def dedup_lsh_pairs(spark, sf):
+        d = _tbl(spark, sf, "documents")
+        return near_dup_pairs(d, 3)
+
+    def dedup_jaccard(spark, sf):
+        d = _tbl(spark, sf, "documents")
+        pairs = near_dup_pairs(d, 3)
+        return jaccard_pairs(d, pairs, 3).select(
+            "a", "b", F.round("jaccard", 4).alias("jaccard")
+        )
+
+    def dedup_simhash(spark, sf):
+        d = _tbl(spark, sf, "documents")
+        return simhash(d, nbits=16)
+
+    def text_langid(spark, sf):
+        return langid(_tbl(spark, sf, "documents"))
+
+    def text_quality_score(spark, sf):
+        return quality_score(_tbl(spark, sf, "documents"))
+
+    def text_fingerprint(spark, sf):
+        return fingerprint(_tbl(spark, sf, "documents"))
+
+    def text_features_q(spark, sf):
+        return text_features(_tbl(spark, sf, "documents"))
+
+    def ann_lsh_topk(spark, sf):
+        e = _tbl(spark, sf, "embeddings")
+        q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return lsh_ann_topk(
+            e, [float(x) for x in q], nbits=4, k=10, exclude_key=0
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
     return {
         "term_stats": term_stats,
         "field_stats": field_stats,
@@ -391,7 +671,187 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "embedding_topk": embedding_topk,
+        "phrase_query": phrase_query,
+        "stream_select_having": stream_select_having,
+        "stream_rollup": stream_rollup,
+        "stream_stats": stream_stats,
+        "stream_unique": stream_unique,
+        "stream_rank": stream_rank,
+        "stream_merge_rank": stream_merge_rank,
+        "stream_intersect": stream_intersect,
+        "stream_complement": stream_complement,
+        "stream_inner_join": stream_inner_join,
+        "stream_hash_join_fetch": stream_hash_join_fetch,
+        "stream_facet": stream_facet,
+        "stream_group_topk": stream_group_topk,
+        "agg_percentile_distinct": agg_percentile_distinct,
+        "dedup_minhash_sig": dedup_minhash_sig,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "text_langid": text_langid,
+        "text_quality_score": text_quality_score,
+        "text_fingerprint": text_fingerprint,
+        "text_features": text_features_q,
+        "ann_lsh_topk": ann_lsh_topk,
     }
+
+
+# ------------------------------------------- oracle SQL building blocks
+
+#: tokenized docs as lists (DuckDB list functions; whitespace split ==
+#: analyzer on this corpus)
+_TK_CTE = """
+tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+#: 3-word shingles per doc (mirrors operators.dedup.word_shingles)
+_SHINGLE_CTE = _TK_CTE + """,
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) >= 3
+         THEN list_transform(generate_series(1, len(tk) - 2),
+                             i -> array_to_string(tk[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM tk
+)
+"""
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(8)
+)
+
+_SIG_CTE = _SHINGLE_CTE + f""",
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id)
+"""
+
+_BANDS_CTE = _SIG_CTE + """,
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+),
+grp AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(*) BETWEEN 2 AND 1000
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN grp USING (band, bucket)
+  JOIN bands y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+)
+"""
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(tf * CASE WHEN (instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(16)
+    )
+    return f"""
+WITH {_TK_CTE},
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM tk) GROUP BY doc_id, t
+),
+hh AS (SELECT doc_id, tf, md5(term) AS h FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM hh GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits
+"""
+
+
+def _ann_lsh_sql() -> str:
+    from lucene_solr_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(64, 4, seed=7)
+
+    def dot(vec_expr: str, p) -> str:
+        return " + ".join(
+            f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * ({float(p[i])!r})"
+            for i in range(64)
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+bk AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+),
+sc AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(list_zip(b.embedding, q.qe),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw,
+         b.bucket
+  FROM bk b, q WHERE b.vec_id <> 0
+)
+SELECT vec_id, ROUND(raw, 4) AS cosine FROM sc
+WHERE bucket = (SELECT bucket FROM bk WHERE vec_id = 0)
+ORDER BY raw DESC, vec_id LIMIT 10
+"""
+
+
+_BPE_RE_SQL = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_TEXTFEAT_COLS = f"""
+  len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_tokens,
+  len(list_filter(string_split(text, ' '),
+      x -> x IN ({{stops}})))::INT AS n_stop,
+  len(list_distinct(list_filter(string_split(text, ' '),
+      x -> x <> '')))::INT AS n_uniq,
+  len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::INT AS n_bpe,
+  length(text)::INT AS n_chars
+"""
+
+
+def _phrase_oracle_sql() -> str:
+    t1, t2 = _PHRASE
+    return f"""
+WITH {_TOK_CTE},
+sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+raw AS (SELECT doc_id, unnest(sp) AS t, generate_subscripts(sp, 1) - 1 AS pos
+        FROM sp),
+ptok AS (SELECT doc_id, t, pos FROM raw
+         WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOPS_SQL})),
+fr AS (
+  SELECT a.doc_id, count(*)::INT AS freq
+  FROM (SELECT doc_id, pos FROM ptok WHERE t = '{t1}') a
+  JOIN (SELECT doc_id, pos FROM ptok WHERE t = '{t2}') b
+    ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT ln(1.0 + (fs.doc_count - t1.doc_freq + 0.5) / (t1.doc_freq + 0.5))
+       + ln(1.0 + (fs.doc_count - t2.doc_freq + 0.5) / (t2.doc_freq + 0.5))
+         AS idf_sum,
+         fs.sttf * 1.0 / fs.doc_count AS avgdl
+  FROM fs,
+       (SELECT doc_freq FROM ts WHERE term = '{t1}') t1,
+       (SELECT doc_freq FROM ts WHERE term = '{t2}') t2
+)
+SELECT doc_id, freq, ROUND(score, 4) AS score FROM (
+  SELECT fr.doc_id, fr.freq,
+         idfs.idf_sum * {K1 + 1.0} * fr.freq
+         / (fr.freq + {K1} * ({1.0 - B} + {B} * dls.dl / idfs.avgdl)) AS score
+  FROM fr JOIN dls USING (doc_id), idfs
+) ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -504,4 +964,125 @@ sc AS (
 SELECT vec_id, ROUND(raw, 4) AS cosine FROM sc
 ORDER BY raw DESC, vec_id LIMIT 10
 """,
+        "phrase_query": _phrase_oracle_sql(),
+        "stream_select_having": """
+SELECT o_orderkey, o_totalprice AS total, year(o_orderdate) AS year
+FROM orders WHERE o_totalprice > 400000
+""",
+        "stream_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "stream_stats": """
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_shipdate) AS min_l_shipdate, MAX(l_shipdate) AS max_l_shipdate,
+       COUNT(*) AS count_rows
+FROM lineitem
+""",
+        "stream_unique": "SELECT DISTINCT c_mktsegment FROM customer",
+        "stream_rank": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "stream_merge_rank": """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderstatus IN ('O', 'F', 'P')
+ORDER BY o_orderkey LIMIT 20
+""",
+        "stream_intersect": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+        "stream_complement": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+        "stream_inner_join": """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        "stream_hash_join_fetch": """
+SELECT o.o_orderkey, o.o_custkey AS c_custkey, c.c_name
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey LIMIT 15
+""",
+        "stream_facet": """
+SELECT event_type, COUNT(*) AS count_rows, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type
+ORDER BY count_rows DESC, event_type LIMIT 5
+""",
+        "stream_group_topk": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 2
+""",
+        "agg_percentile_distinct": """
+SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+""",
+        "dedup_minhash_sig": f"""
+WITH {_SIG_CTE}
+SELECT * FROM sig
+""",
+        "dedup_lsh_pairs": f"""
+WITH {_BANDS_CTE}
+SELECT a, b FROM cand
+""",
+        "dedup_jaccard": f"""
+WITH {_BANDS_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       ROUND(i.inter * 1.0 / (za.sz + zb.sz - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc_id = i.a
+JOIN sz zb ON zb.doc_id = i.b
+""",
+        "dedup_simhash": _simhash_sql(),
+        "text_langid": f"""
+WITH f AS (SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents)
+SELECT doc_id,
+       CASE WHEN n_stop * 1.0 / greatest(n_tokens, 1) > 0.08
+            THEN 'en' ELSE 'unk' END AS lang_pred,
+       ROUND(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stop_ratio
+FROM f
+""",
+        "text_quality_score": f"""
+WITH f AS (SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents)
+SELECT doc_id,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+             + (n_uniq * 1.0 / greatest(n_tokens, 1)) * 0.3
+             + (1.0 - n_stop * 1.0 / greatest(n_tokens, 1)) * 0.3, 4)
+         AS quality
+FROM f
+""",
+        "text_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+         AS fingerprint
+FROM documents
+""",
+        "text_features": f"""
+SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents
+""",
+        "ann_lsh_topk": _ann_lsh_sql(),
     }

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+- brute-force cosine top-k (the exact baseline): JVM-side
+  zip_with/aggregate dot products, TakeOrderedAndProject top-k;
+- LSH-bucketed ANN (the scale path): deterministic random-hyperplane
+  signs (seeded) partition vectors into 2^nbits buckets; the query
+  only scans its own bucket — at 100 TB the bucket column is the
+  partition key, so the scan prunes to 1/2^nbits of the data before
+  any dot product runs.
+
+Hyperplanes are generated from a fixed seed so any SQL engine given the
+same literals reproduces the bucketing exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
+    """(nbits, dim) float64 hyperplane matrix from a counter-based RNG."""
+    rng = np.random.default_rng(np.random.Philox(key=seed))
+    return rng.standard_normal((nbits, dim))
+
+
+def _dot_lit(col, vec: np.ndarray):
+    """JVM-side dot product of an array<float> column with a literal."""
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(
+            col, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_topk(vectors: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", key_col: str = "vec_id",
+                exclude_key: int | None = None) -> DataFrame:
+    """Exact brute-force cosine top-k: (key, cosine), score desc / key asc."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    df = vectors
+    if exclude_key is not None:
+        df = df.filter(F.col(key_col) != exclude_key)
+    return (
+        df.withColumn(
+            "cosine", _dot_lit(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+        )
+        .orderBy(F.desc("cosine"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "cosine")
+    )
+
+
+def lsh_bucket_expr(planes: np.ndarray, vec_col: str = "embedding"):
+    """Bucket id column: concatenated sign bits of plane dot products."""
+    bits = [
+        F.when(_dot_lit(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(vectors: DataFrame, query: list[float], nbits: int = 4,
+                 k: int = 10, seed: int = 7, vec_col: str = "embedding",
+                 key_col: str = "vec_id",
+                 exclude_key: int | None = None) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    hyperplane-LSH bucket.  Recall improves with multi-probe/bands; this
+    is the single-probe scale path whose plan prunes on the bucket."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = hyperplanes(q.size, nbits, seed)
+    qbucket = "".join("1" if float(p @ q) >= 0 else "0" for p in planes)
+    df = vectors.withColumn("bucket", lsh_bucket_expr(planes, vec_col)).filter(
+        F.col("bucket") == qbucket
+    )
+    if exclude_key is not None:
+        df = df.filter(F.col(key_col) != exclude_key)
+    qn = float(np.sqrt((q * q).sum()))
+    return (
+        df.withColumn(
+            "cosine", _dot_lit(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+        )
+        .orderBy(F.desc("cosine"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "cosine")
+    )

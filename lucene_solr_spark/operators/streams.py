@@ -1,0 +1,150 @@
+"""Solr streaming-expression operators re-expressed as DataFrame combinators.
+
+The reference ships a relational algebra over sorted tuple streams
+(solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/*.java);
+each combinator below is the Spark-first restatement of one stream
+class — declarative DataFrame ops so Catalyst picks the physical plan
+(the reference hand-schedules sort-merge vs hash by class choice;
+Catalyst cost-picks it).  Citations per function.
+
+All combinators return DataFrames, so they compose exactly like the
+reference's wrapped streams:
+    rank(rollup(search(...), over=[...], sum_cols=[...]), by=..., n=10)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def select(df: DataFrame, *cols: str, **renames: str) -> DataFrame:
+    """SelectStream (io/stream/SelectStream.java): projection + rename;
+    renames are new_name=old_name or new_name=SQL-expression."""
+    out = [F.col(c) for c in cols]
+    out += [F.expr(src).alias(dst) for dst, src in renames.items()]
+    return df.select(*out)
+
+
+def having(df: DataFrame, cond: str) -> DataFrame:
+    """HavingStream (io/stream/HavingStream.java): post-agg predicate."""
+    return df.filter(cond)
+
+
+_METRICS = {
+    "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+    "count": F.count,
+}
+
+
+def _metric_cols(metrics: dict[str, Sequence[str]]):
+    """metrics: {"sum": ["a","b"], "avg": ["c"], ...} -> agg exprs named
+    like Solr's metric identifiers: sum_a, avg_c, count_* ...
+    (io/stream/metrics/SumMetric.java etc.)."""
+    aggs = []
+    for m, cols in metrics.items():
+        if m == "count":
+            aggs.append(F.count("*").alias("count_rows"))
+            continue
+        fn = _METRICS[m]
+        for c in cols:
+            aggs.append(fn(c).alias(f"{m}_{c}"))
+    return aggs
+
+
+def rollup(df: DataFrame, over: Sequence[str],
+           **metrics: Sequence[str]) -> DataFrame:
+    """RollupStream (io/stream/RollupStream.java) with Sum/Min/Max/Mean/
+    Count metrics.  The reference's map_reduce mode (ParallelStream
+    hash-partitioned workers + coordinator merge, SQLHandler.java:213-260)
+    IS Spark's partial+final hash aggregation — automatic here."""
+    return df.groupBy(*over).agg(*_metric_cols(metrics))
+
+
+def stats(df: DataFrame, **metrics: Sequence[str]) -> DataFrame:
+    """StatsStream (io/stream/StatsStream.java): global aggregates without
+    streaming rows."""
+    return df.agg(*_metric_cols(metrics))
+
+
+def unique(df: DataFrame, over: Sequence[str]) -> DataFrame:
+    """UniqueStream (io/stream/UniqueStream.java): distinct on the sort key."""
+    return df.dropDuplicates(list(over))
+
+
+def rank(df: DataFrame, by: Sequence, n: int) -> DataFrame:
+    """RankStream (io/stream/RankStream.java): top-n reorder.  Spark plans
+    this as TakeOrderedAndProject — per-partition heaps + driver merge,
+    never a full sort (the TopDocs.merge shape)."""
+    return df.orderBy(*by).limit(n)
+
+
+def merge(dfs: Sequence[DataFrame], by: Sequence | None = None) -> DataFrame:
+    """MergeStream (io/stream/MergeStream.java): k-way union of streams;
+    ordering, when required downstream, is re-established by sort (Spark
+    DataFrames carry no inter-partition order)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy(*by) if by else out
+
+
+def intersect(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """IntersectStream (io/stream/IntersectStream.java): rows of `left`
+    whose key appears in `right` (left_semi join)."""
+    return left.join(right.select(*on).distinct(), list(on), "left_semi")
+
+
+def complement(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """ComplementStream (io/stream/ComplementStream.java): rows of `left`
+    whose key does NOT appear in `right` (left_anti join)."""
+    return left.join(right.select(*on).distinct(), list(on), "left_anti")
+
+
+def inner_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+               how: str = "inner") -> DataFrame:
+    """InnerJoinStream / LeftOuterJoinStream (io/stream/BiJoinStream.java
+    family): equi-join of streams sorted on the join key — Spark's
+    sort-merge join, chosen by Catalyst for large sides."""
+    return left.join(right, list(on), how)
+
+
+def hash_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              how: str = "inner") -> DataFrame:
+    """HashJoinStream (io/stream/HashJoinStream.java): build side fully in
+    memory — the broadcast-hash join, with the hint made explicit."""
+    return left.join(F.broadcast(right), list(on), how)
+
+
+def fetch(left: DataFrame, lookup: DataFrame, on: Sequence[str],
+          fields: Sequence[str]) -> DataFrame:
+    """FetchStream (io/stream/FetchStream.java): batched lookup join that
+    decorates tuples with fields fetched by key (broadcast lookup)."""
+    return left.join(
+        F.broadcast(lookup.select(*on, *fields)), list(on), "left_outer"
+    )
+
+
+def facet(df: DataFrame, by: Sequence[str], metrics: dict[str, Sequence[str]],
+          sort: Sequence, limit: int) -> DataFrame:
+    """FacetStream / JSON facet pushdown (io/stream/FacetStream.java;
+    solr/core/.../search/facet/FacetFieldProcessor*.java): group-by
+    top-k buckets with metrics.  Per-shard partial buckets + merger
+    (FacetFieldMerger) = Spark partial/final agg + TakeOrdered."""
+    return df.groupBy(*by).agg(*_metric_cols(metrics)).orderBy(*sort).limit(limit)
+
+
+def group_topk(df: DataFrame, group: Sequence[str], order: Sequence,
+               k: int) -> DataFrame:
+    """Grouping module two-pass group-top-k
+    (lucene/grouping/.../FirstPassGroupingCollector.java,
+    SecondPassGroupingCollector.java): top k rows per group — the
+    window-rank form; Spark pushes the rank filter into the sort."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
