@@ -167,7 +167,9 @@ def _bm25_base(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
         .filter(F.col("term").isin(terms))
         .select("term", "doc_freq")
     )
-    fs = spark.read.parquet(os.path.join(idx, "field_stats")).collect()[0]
+    from lucene_solr_spark.index.builder import read_field_stats
+
+    fs = read_field_stats(idx)
     dc = int(fs["doc_count"])
     avgdl = float(fs["sum_total_term_freq"]) / dc
     dl = spark.read.parquet(os.path.join(idx, "docmap")).select("doc_id", "dl")
@@ -232,7 +234,9 @@ def _phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term").isin([t1, t2])
     ).collect()
     dfs = {r["term"]: int(r["doc_freq"]) for r in ts}
-    fs = spark.read.parquet(os.path.join(idx, "field_stats")).collect()[0]
+    from lucene_solr_spark.index.builder import read_field_stats
+
+    fs = read_field_stats(idx)
     dc = int(fs["doc_count"])
     avgdl = float(fs["sum_total_term_freq"]) / dc
     import math
@@ -303,8 +307,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def field_stats(spark, sf):
         idx = _ensure_index(spark, sf)
-        return spark.read.parquet(os.path.join(idx, "field_stats")).select(
-            "doc_count", "sum_total_term_freq", "max_doc"
+        from lucene_solr_spark.index.builder import read_field_stats
+
+        fs = read_field_stats(idx)
+        return spark.createDataFrame(
+            [(fs["doc_count"], fs["sum_total_term_freq"], fs["max_doc"])],
+            "doc_count long, sum_total_term_freq long, max_doc long",
         )
 
     def doc_lengths(spark, sf):

@@ -129,8 +129,9 @@ def build_at(cores: int, corpus_dir: str, out_dir: str,
         t0 = time.time()
         build_index(spark, df, out_dir, cfg)
         dt = time.time() - t0
-        n_turns = pq.read_table(
-            os.path.join(out_dir, "field_stats")).to_pylist()[0]["max_doc"]
+        from lucene_solr_spark.index.builder import read_field_stats
+
+        n_turns = read_field_stats(out_dir)["max_doc"]
     finally:
         spark.stop()
     return dt, int(n_turns)

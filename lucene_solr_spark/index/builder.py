@@ -88,7 +88,7 @@ POSTINGS_SCHEMA = (
     "term string, salt int, block_id int, kind int, first_doc long, "
     "last_doc long, doc_count int, sum_tf long, payload binary, "
     "norms_payload binary, pos_payload binary, max_tf int, "
-    "max_ratio float, bucket int"
+    "min_ntab float, bucket int"
 )
 
 
@@ -116,7 +116,7 @@ class BuildConfig:
 # --------------------------------------------------------------- stage 1
 
 
-def _docmap_factory(index_dir: str, top_terms: int = 4096):
+def _docmap_factory(sidecar_dir: str, top_terms: int = 4096):
     """mapInPandas kernel: per-doc analysis stats, no token materialization.
 
     Rows arrive sorted by (conv_id, turn_idx) within a range partition;
@@ -170,7 +170,7 @@ def _docmap_factory(index_dir: str, top_terms: int = 4096):
         import pyarrow.parquet as pq
 
         top = term_df.most_common(top_terms)
-        d = os.path.join(index_dir, "_hotstats")
+        d = sidecar_dir
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".pid-{pid}.tmp")
         pq.write_table(
@@ -188,15 +188,20 @@ def _docmap_factory(index_dir: str, top_terms: int = 4096):
 
 
 def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
-                  cfg: BuildConfig) -> None:
+                  cfg: BuildConfig, seg: int = 0, doc_base: int = 0) -> None:
+    """Build one SEGMENT's docmap (seg 0 = the batch build; seg N = an NRT
+    micro-batch append, SURVEY.md §2.8).  docIDs are doc_base + dense rank
+    within the segment — Lucene's per-leaf docBase."""
     import shutil as _shutil
 
-    _shutil.rmtree(os.path.join(index_dir, "_hotstats"), ignore_errors=True)
+    _shutil.rmtree(_hotstats_dir(index_dir, seg), ignore_errors=True)
     parts = cfg.partitions or spark.sparkContext.defaultParallelism
     sorted_df = transcripts.repartitionByRange(
         parts, F.col("conv_id"), F.col("turn_idx")
     ).sortWithinPartitions("conv_id", "turn_idx")
-    lite = sorted_df.mapInPandas(_docmap_factory(index_dir), DOCMAP_STAGE_SCHEMA)
+    lite = sorted_df.mapInPandas(
+        _docmap_factory(_hotstats_dir(index_dir, seg)), DOCMAP_STAGE_SCHEMA
+    )
     lite.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # one job: per-partition counts (docID offsets) + field stats
@@ -221,38 +226,64 @@ def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
             )
         )
         docs = lite.join(offsets_df, "pid").select(
-            (F.col("offset") + F.col("local_idx")).alias("doc_id"),
+            (F.lit(doc_base) + F.col("offset") + F.col("local_idx")).alias(
+                "doc_id"
+            ),
             "conv_id", "turn_idx", "text_sha", "norm_byte", "dl", "text",
         )
-        docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docmap"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "docmap", f"seg={seg}")
+        )
     finally:
         lite.unpersist()
-    # field_stats: single row, written driver-side (no Spark job)
+    # per-segment field_stats: single row, written driver-side (no Spark
+    # job); global stats are the SUM over segments, aggregated at read
+    # time exactly like IndexSearcher.collectionStatistics walks leaves
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     doc_count = int(sum(r["nonempty"] for r in agg_rows))
     sttf = int(sum(r["sum_dl"] for r in agg_rows))
-    fs_dir = os.path.join(index_dir, "field_stats")
+    fs_dir = os.path.join(index_dir, "field_stats", f"seg={seg}")
     os.makedirs(fs_dir, exist_ok=True)
     pq.write_table(
         pa.table(
             {
                 "doc_count": pa.array([doc_count], pa.int64()),
                 "sum_total_term_freq": pa.array([sttf], pa.int64()),
-                "max_doc": pa.array([int(acc)], pa.int64()),
+                "max_doc": pa.array([int(doc_base + acc)], pa.int64()),
             }
         ),
         os.path.join(fs_dir, "part-0.parquet"),
     )
-    store.commit_stage(index_dir, "docmap", {"max_doc": int(acc)})
+    store.commit_stage(index_dir, "docmap", {"max_doc": int(doc_base + acc)})
     store.commit_stage(index_dir, "field_stats")
+
+
+def _hotstats_dir(index_dir: str, seg: int) -> str:
+    return os.path.join(index_dir, "_hotstats", f"seg={seg}")
+
+
+def read_field_stats(index_dir: str) -> dict:
+    """Global field stats = sum over per-segment rows (the
+    collectionStatistics leaf walk, search/IndexSearcher.java:787-810)."""
+    import pyarrow.dataset as pads
+
+    rows = pads.dataset(
+        os.path.join(index_dir, "field_stats"), format="parquet",
+        partitioning="hive",
+    ).to_table().to_pylist()
+    return {
+        "doc_count": sum(r["doc_count"] for r in rows),
+        "sum_total_term_freq": sum(r["sum_total_term_freq"] for r in rows),
+        "max_doc": max((r["max_doc"] for r in rows), default=0),
+    }
 
 
 # --------------------------------------------------------------- stage 2
 
 
-def _hot_terms_from_sidecar(index_dir: str, cfg: BuildConfig) -> dict[str, int]:
+def _hot_terms_from_sidecar(sidecar_dir: str, cfg: BuildConfig) -> dict[str, int]:
     """{term: n_salts} from the per-partition ``_hotstats`` sidecars
     published by the docmap kernel — no extra Spark job, and the summed
     counts are exact for every term that made each partition's top-N
@@ -262,7 +293,7 @@ def _hot_terms_from_sidecar(index_dir: str, cfg: BuildConfig) -> dict[str, int]:
 
     import pyarrow.parquet as pq
 
-    files = _glob.glob(os.path.join(index_dir, "_hotstats", "pid-*.parquet"))
+    files = _glob.glob(os.path.join(sidecar_dir, "pid-*.parquet"))
     if not files:
         return {}
     totals: dict[str, int] = {}
@@ -376,26 +407,22 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
     return invert
 
 
-def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int,
-                         positions: bool = False):
+def _merge_group_factory(n_buckets: int, positions: bool = False):
     """applyInPandas kernel over one (term, salt) group: the SegmentMerger
     analogue (index/SegmentMerger.java:80-133) — decode the per-partition
     chunk blocks, merge into one globally doc-sorted list, re-encode as
     final blocks.
 
-    max_ratio is the idf-free per-block BM25 upper bound
-    max(tf/(tf+cache[norm])) — multiplied by the term's weightValue at
-    query time it gives the block-max metadata that replaces Lucene's
-    skip lists (SURVEY.md §4.2) and feeds WAND/MaxScore pruning.  Being
-    idf-free, the encoder needs no global term statistics: exact
-    term_stats are rolled up FROM the blocks afterwards."""
+    Per-block (max_tf, min_ntab) is the block-max metadata that replaces
+    Lucene's skip lists (SURVEY.md §4.2) and feeds WAND/MaxScore pruning:
+    score(tf, norm) <= wv * max_tf / (max_tf + k1*((1-b) + b*min_ntab/avgdl))
+    because the per-term score is increasing in tf and decreasing in the
+    norm denominator.  Both values are independent of idf AND avgdl, so
+    the bound stays SOUND when global stats drift as NRT segments append
+    — the query engine plugs in the CURRENT global avgdl.  The encoder
+    therefore needs no global statistics at all: exact term_stats are
+    rolled up FROM the blocks afterwards."""
     from .codec import decode_block, decode_positions, encode_positions
-
-    k1f = np.float32(k1)
-    bf = np.float32(b)
-    cache = (
-        k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / np.float32(avgdl))
-    ).astype(np.float32)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
@@ -420,8 +447,7 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int,
             p_parts = [p_parts[j] for j in order]
         rows = []
         blocks = encode_blocks(docs, tfs)
-        freq = tfs.astype(np.float32)
-        ratio = (freq / (freq + cache[norms])).astype(np.float32)
+        ntab = NORM_TABLE[norms]
         bucket = term_bucket(term, n_buckets)
         for blk in blocks:
             s, e = blk["block_id"] * 128, blk["block_id"] * 128 + blk["doc_count"]
@@ -439,7 +465,7 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int,
                     norms[s:e].tobytes(),
                     encode_positions(p_parts[s:e]) if positions else None,
                     blk["max_tf"],
-                    float(ratio[s:e].max()),
+                    float(ntab[s:e].min()),
                     bucket,
                 )
             )
@@ -448,40 +474,31 @@ def _merge_group_factory(avgdl: float, k1: float, b: float, n_buckets: int,
             columns=[
                 "term", "salt", "block_id", "kind", "first_doc", "last_doc",
                 "doc_count", "sum_tf", "payload", "norms_payload",
-                "pos_payload", "max_tf", "max_ratio", "bucket",
+                "pos_payload", "max_tf", "min_ntab", "bucket",
             ],
         )
 
     return merge
 
 
-def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig) -> None:
-    import pyarrow.parquet as pq
-
-    fs = pq.read_table(os.path.join(index_dir, "field_stats")).to_pylist()[0]
-    max_doc = int(fs["max_doc"])
-    avgdl = (
-        float(np.float32(fs["sum_total_term_freq"] / float(fs["doc_count"])))
-        if fs["doc_count"]
-        else 1.0
-    )
+def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig,
+                    seg: int = 0) -> None:
+    max_doc = read_field_stats(index_dir)["max_doc"]
 
     # hot-term salt map (explicit skew handling, north_rule); skipped
     # entirely when no term can possibly exceed the threshold
     hot_salts: dict[str, int] = {}
     if max_doc > cfg.salt_df_threshold:
-        hot_salts = _hot_terms_from_sidecar(index_dir, cfg)
+        hot_salts = _hot_terms_from_sidecar(_hotstats_dir(index_dir, seg), cfg)
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
-        "doc_id", "norm_byte", "text"
-    )
+    docs = spark.read.parquet(
+        os.path.join(index_dir, "docmap", f"seg={seg}")
+    ).select("doc_id", "norm_byte", "text")
     chunks = docs.mapInPandas(
         _partial_postings_factory(hot_salts, max_doc, cfg.positions),
         CHUNK_SCHEMA,
     )
-    merge = _merge_group_factory(
-        avgdl, cfg.k1, cfg.b, cfg.n_buckets, cfg.positions
-    )
+    merge = _merge_group_factory(cfg.n_buckets, cfg.positions)
     postings = chunks.groupBy("term", "salt").applyInPandas(
         merge, POSTINGS_SCHEMA
     )
@@ -490,12 +507,11 @@ def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig) -> No
         .sortWithinPartitions("term", "salt", "block_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, "postings", f"seg={seg}"))
     )
     store.commit_stage(
         index_dir, "postings",
-        {"avgdl": avgdl, "n_buckets": cfg.n_buckets,
-         "hot_terms": len(hot_salts)},
+        {"n_buckets": cfg.n_buckets, "hot_terms": len(hot_salts)},
     )
 
 
@@ -525,14 +541,17 @@ def _stage_lineage(spark: SparkSession, index_dir: str, cfg: BuildConfig,
                    elapsed: float) -> None:
     p = spark.read.parquet(os.path.join(index_dir, "postings"))
     lin = (
-        p.groupBy("bucket")
+        p.groupBy("seg", "bucket")
         .agg(
             F.min("term").alias("term_range_lo"),
             F.max("term").alias("term_range_hi"),
             F.sum("doc_count").alias("doc_count"),
             F.sum(F.length("payload") + F.length("norms_payload")).alias("bytes"),
         )
-        .withColumn("segment_id", F.concat(F.lit("seg-"), F.col("bucket")))
+        .withColumn(
+            "segment_id",
+            F.concat(F.lit("seg-"), F.col("seg"), F.lit("-"), F.col("bucket")),
+        )
         .withColumn("stage", F.lit("postings"))
         .withColumn("status", F.lit("committed"))
         .withColumn("detail", F.lit(f"build_sec={elapsed:.2f}"))
@@ -560,14 +579,53 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
          "positions": cfg.positions},
     )
     if not (resume and store.stage_committed(index_dir, "docmap")):
-        _stage_docmap(spark, transcripts, index_dir, cfg)
+        _stage_docmap(spark, transcripts, index_dir, cfg, seg=0, doc_base=0)
     if not (resume and store.stage_committed(index_dir, "postings")):
-        _stage_postings(spark, index_dir, cfg)
+        _stage_postings(spark, index_dir, cfg, seg=0)
     if not (resume and store.stage_committed(index_dir, "term_stats")):
         _stage_term_stats(spark, index_dir)
     if not (resume and store.stage_committed(index_dir, "lineage")):
         _stage_lineage(spark, index_dir, cfg, time.time() - t0)
     return store.read_manifest(index_dir)
+
+
+def append_segment(spark: SparkSession, transcripts: DataFrame,
+                   index_dir: str, cfg: BuildConfig | None = None) -> dict:
+    """Append one NRT segment (a Structured-Streaming micro-batch or any
+    incremental document batch) to an existing index — the SearcherManager
+    / NRT-reopen analogue (search/SearcherManager.java; SURVEY.md §2.8).
+
+    The batch becomes segment N+1 with docIDs based at the current
+    max_doc (Lucene's per-leaf docBase); global term/field statistics are
+    re-aggregated across all segments, and the manifest commit publishes
+    the new segment atomically (segments_N discipline)."""
+    cfg = cfg or BuildConfig()
+    params = store.get_params(index_dir)
+    if params:
+        # appended segments must agree with the index's scoring params
+        cfg = BuildConfig(
+            n_buckets=int(params.get("n_buckets", cfg.n_buckets)),
+            partitions=cfg.partitions,
+            salt_df_threshold=int(
+                params.get("salt_df_threshold", cfg.salt_df_threshold)
+            ),
+            salt_target=cfg.salt_target,
+            k1=float(params.get("k1", cfg.k1)),
+            b=float(params.get("b", cfg.b)),
+            positions=bool(params.get("positions", cfg.positions)),
+        )
+    m = store.read_manifest(index_dir)
+    seg = int(m.get("next_seg", 1))
+    doc_base = read_field_stats(index_dir)["max_doc"]
+    _stage_docmap(spark, transcripts, index_dir, cfg, seg=seg,
+                  doc_base=doc_base)
+    _stage_postings(spark, index_dir, cfg, seg=seg)
+    _stage_term_stats(spark, index_dir)
+    _stage_lineage(spark, index_dir, cfg, 0.0)
+    m = store.read_manifest(index_dir)
+    m["next_seg"] = seg + 1
+    store.write_manifest(index_dir, m)
+    return m
 
 
 def validate_index(spark: SparkSession, transcripts: DataFrame, index_dir: str) -> dict:

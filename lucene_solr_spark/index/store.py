@@ -47,6 +47,13 @@ def read_manifest(index_dir: str) -> dict:
         return json.load(f)
 
 
+def write_manifest(index_dir: str, manifest: dict) -> None:
+    tmp = manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path(index_dir))
+
+
 def commit_stage(index_dir: str, stage: str, info: dict | None = None) -> dict:
     """Atomically record a stage as committed (tmp+rename, like the
     reference's two-phase segments_N publish)."""

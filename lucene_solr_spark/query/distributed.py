@@ -48,11 +48,9 @@ class DistributedSearcher:
         self.n_buckets = int(self.params["n_buckets"])
         self.k1 = float(self.params.get("k1", 1.2))
         self.b = float(self.params.get("b", 0.75))
-        fs = (
-            spark.read.parquet(os.path.join(index_dir, "field_stats"))
-            .collect()[0]
-            .asDict()
-        )
+        from ..index.builder import read_field_stats
+
+        fs = read_field_stats(index_dir)
         self.doc_count = int(fs["doc_count"] or 0)
         self.sum_ttf = int(fs["sum_total_term_freq"] or 0)
         self._postings_path = os.path.join(index_dir, "postings")

@@ -19,7 +19,9 @@ Physical optimizations (SURVEY.md §4.2):
 - top-level OR with k: sound block-max pruning (the reference 7.0
   snapshot has no WAND; this is our addition per the north star):
   block b of term t is skipped when
-      weightValue(t) * max_ratio(t, b) + sum(global_max(t') for t' != t) < theta
+      block_ub(t, b) + sum(global_max(t') for t' != t) < theta
+  with block_ub derived from the stored (max_tf, min_ntab) metadata and
+  the CURRENT global avgdl (sound under NRT segment appends)
   where theta is the k-th best fully-scored candidate so far.  Skipped
   blocks are decoded on demand if one of their docs survives via another
   term, so returned scores are always complete and exact.
@@ -45,20 +47,18 @@ class _TermPostings:
     """Decoded-on-demand posting list of one term: sorted docs, tfs, norms,
     plus per-block metadata for range skipping."""
 
-    __slots__ = ("term", "n_docs", "blocks", "_decoded", "max_ratio")
+    __slots__ = ("term", "n_docs", "blocks", "_decoded")
 
     def __init__(self, term: str, block_rows: list[dict]):
         self.term = term
-        # salts are doc-range ordered -> (salt, block_id) order is global
-        # doc order; block ranges are disjoint and ascending.
-        self.blocks = sorted(block_rows, key=lambda r: (r["salt"], r["block_id"]))
-        self.n_docs = sum(b["doc_count"] for b in self.blocks)
-        # idf-free block-max; multiply by the term's weightValue for the
-        # score upper bound (weightValue needs global df = n_docs, known
-        # only after all salted sub-lists are assembled here)
-        self.max_ratio = (
-            max(b["max_ratio"] for b in self.blocks) if self.blocks else 0.0
+        # segments are docBase-ordered and salts doc-range ordered within
+        # a segment -> (seg, salt, block_id) order is global doc order;
+        # block ranges are disjoint and ascending.
+        self.blocks = sorted(
+            block_rows,
+            key=lambda r: (r.get("seg", 0), r["salt"], r["block_id"]),
         )
+        self.n_docs = sum(b["doc_count"] for b in self.blocks)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray]:
@@ -122,7 +122,9 @@ class LocalSearcher:
         self.n_buckets = int(self.params["n_buckets"])
         self.k1 = np.float32(self.params.get("k1", 1.2))
         self.b = np.float32(self.params.get("b", 0.75))
-        fs = pq.read_table(os.path.join(index_dir, "field_stats")).to_pylist()[0]
+        from ..index.builder import read_field_stats
+
+        fs = read_field_stats(index_dir)
         self.doc_count = int(fs["doc_count"] or 0)
         self.sum_ttf = int(fs["sum_total_term_freq"] or 0)
         self.max_doc = int(fs["max_doc"] or 0)
@@ -397,6 +399,19 @@ class LocalSearcher:
         raise ValueError(kind)
 
     # -------------------------------------------- pruned top-level OR
+    def _block_ubs(self, tp: "_TermPostings", wv: float) -> np.ndarray:
+        """Sound per-block score upper bounds from (max_tf, min_ntab):
+        score <= wv * mt / (mt + k1*((1-b) + b*min_ntab/avgdl)).  Both
+        stored values are avgdl/idf-independent so the bound holds under
+        NRT stat drift; the 1+1e-6 guard covers float32-vs-float64
+        rounding of true scores against the float64 bound."""
+        mt = np.array([b["max_tf"] for b in tp.blocks], dtype=np.float64)
+        mn = np.array([b["min_ntab"] for b in tp.blocks], dtype=np.float64)
+        c = float(self.k1) * (
+            (1.0 - float(self.b)) + float(self.b) * mn / float(self.avgdl)
+        )
+        return wv * mt / (mt + c) * (1.0 + 1e-6)
+
     def _search_or_pruned(self, terms: list[str], k: int
                           ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned evaluation of a flat OR of terms."""
@@ -405,8 +420,12 @@ class LocalSearcher:
             [self._weight_value(tp.n_docs) for tp in tps], dtype=np.float64
         )
         gmax = np.array(
-            [tp.max_ratio for tp in tps], dtype=np.float64
-        ) * wvs
+            [
+                self._block_ubs(tp, wvs[i]).max() if tp.blocks else 0.0
+                for i, tp in enumerate(tps)
+            ],
+            dtype=np.float64,
+        )
         # establish theta from the highest-impact term, fully scored with
         # complete (all-term) scores for its docs
         seed = int(np.argmax(gmax))
@@ -419,9 +438,7 @@ class LocalSearcher:
             if i == seed:
                 continue
             others = float(gmax.sum() - gmax[i])
-            ub = np.array(
-                [b["max_ratio"] for b in tp.blocks], dtype=np.float64
-            ) * wvs[i] + others
+            ub = self._block_ubs(tp, wvs[i]) + others
             live = np.flatnonzero(ub >= theta) if theta > -np.inf else np.arange(len(tp.blocks))
             docs, _, _ = tp.decode_blocks(live)
             fresh = np.setdiff1d(docs, np.concatenate(kept_docs), assume_unique=False)

@@ -10,7 +10,9 @@ pytestmark = pytest.mark.spark
 
 
 def test_field_stats_match_oracle(index_dir, oracle):
-    fs = pq.read_table(os.path.join(index_dir, "field_stats")).to_pylist()[0]
+    from lucene_solr_spark.index.builder import read_field_stats
+
+    fs = read_field_stats(index_dir)
     assert fs["doc_count"] == oracle.doc_count
     assert fs["sum_total_term_freq"] == oracle.sum_total_term_freq
     assert fs["max_doc"] == len(oracle.doc_ids)

@@ -1,0 +1,123 @@
+"""NRT incremental indexing: segment appends must be equivalent to a
+single batch build (stats identical; docIDs identical when batches are
+delivered in corpus order), and the Structured Streaming path must
+ingest micro-batches into segments exactly once."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.index.builder import (
+    BuildConfig, append_segment, build_index, read_field_stats,
+)
+from lucene_solr_spark.sources import gen_transcripts_df
+
+pytestmark = pytest.mark.spark
+
+
+def _term_stats_pdf(d):
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(os.path.join(d, "term_stats"))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
+def test_append_segment_equivalence(spark, tmp_path):
+    cfg = BuildConfig(n_buckets=4, positions=True)
+    full = gen_transcripts_df(spark, n_convs=30, seed=11)
+
+    batch_dir = str(tmp_path / "batch")
+    build_index(spark, full, batch_dir, cfg)
+
+    inc_dir = str(tmp_path / "inc")
+    b0 = full.filter("conv_id < 'conv00000010'")
+    b1 = full.filter("conv_id >= 'conv00000010' AND conv_id < 'conv00000020'")
+    b2 = full.filter("conv_id >= 'conv00000020'")
+    build_index(spark, b0, inc_dir, cfg)
+    append_segment(spark, b1, inc_dir, cfg)
+    append_segment(spark, b2, inc_dir, cfg)
+
+    # global stats identical
+    assert read_field_stats(batch_dir) == read_field_stats(inc_dir)
+    assert _term_stats_pdf(batch_dir).equals(_term_stats_pdf(inc_dir))
+
+    # rank-identical queries (docIDs match: conv-ordered appends reproduce
+    # the global (conv_id, turn_idx) order via docBase offsets)
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    s1, s2 = LocalSearcher(batch_dir), LocalSearcher(inc_dir)
+    for q in ["retry AND deploy", "cache", "ba*", '"fix test flake"',
+              "bakeka OR dupa OR cache"]:
+        assert s1.search(q, 10) == s2.search(q, 10), q
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from lucene_solr_spark.streaming import start_incremental_indexing
+
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    full = gen_transcripts_df(spark, n_convs=12, seed=5)
+    n_total = full.count()
+    full.filter("conv_id < 'conv00000006'").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f0")
+    )
+    full.filter("conv_id >= 'conv00000006'").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f1")
+    )
+
+    idx = str(tmp_path / "nrt_idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = start_incremental_indexing(
+        spark, stream, idx, ckpt, BuildConfig(n_buckets=2)
+    )
+    q.awaitTermination(120)
+
+    fs = read_field_stats(idx)
+    assert fs["max_doc"] == n_total
+    segs = sorted(os.listdir(os.path.join(idx, "postings")))
+    assert len([s for s in segs if s.startswith("seg=")]) == 2
+
+    # searcher over the union of segments sees every document of a term,
+    # regardless of batch arrival order: compare against a batch build
+    batch_dir = str(tmp_path / "batch_ref")
+    build_index(spark, full, batch_dir, BuildConfig(n_buckets=2))
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    docmaps = {}
+    import pyarrow.parquet as pq
+
+    for name, d in [("inc", idx), ("ref", batch_dir)]:
+        t = pq.read_table(
+            os.path.join(d, "docmap"),
+            columns=["doc_id", "conv_id", "turn_idx"],
+        ).to_pandas()
+        docmaps[name] = dict(
+            zip(t["doc_id"], zip(t["conv_id"], t["turn_idx"]))
+        )
+
+    s_inc, s_ref = LocalSearcher(idx), LocalSearcher(batch_dir)
+    for q_ in ["cache", "retry", "deploy"]:
+        got = {
+            (docmaps["inc"][d], np.float32(s)) for d, s in s_inc.search(q_, 10000)
+        }
+        want = {
+            (docmaps["ref"][d], np.float32(s)) for d, s in s_ref.search(q_, 10000)
+        }
+        assert got == want, q_
+
+    # exactly-once: re-running the drained stream appends nothing
+    q2 = start_incremental_indexing(
+        spark, stream, idx, ckpt, BuildConfig(n_buckets=2)
+    )
+    q2.awaitTermination(60)
+    assert read_field_stats(idx)["max_doc"] == n_total
