@@ -38,8 +38,8 @@ LOW_CORES = int(os.environ.get("SPARK_GRAFT_LOW_CORES", "2"))
 HIGH_CORES = int(os.environ.get("SPARK_GRAFT_HIGH_CORES", "8"))
 #: corpus for the scaling pair: big enough that parallel work dominates
 #: fixed per-build overhead (JVM job scheduling, range-sample job,
-#: parquet commit protocol) — at 2M turns the 2-core build is ~95% compute
-SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "2000000"))
+#: parquet commit protocol) — at 3M turns the 2-core build is ~95% compute
+SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "3000000"))
 
 _TURNS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 _TURNS_PER_CONV = 22.5  # E[n_turns] of the generator
@@ -193,18 +193,30 @@ def main() -> None:
         sc_corpus = os.path.join(work, f"corpus_scale_{SCALE_TURNS}")
         materialize_corpus(max(1, round(SCALE_TURNS / _TURNS_PER_CONV)),
                            sc_corpus)
-        sc_hi_dir = os.path.join(work, f"idx_scale_c{HIGH_CORES}")
-        sc_hi_sec, sc_n = build_at(HIGH_CORES, sc_corpus, sc_hi_dir,
-                                   warmup_dir=warm)
-        shutil.rmtree(sc_hi_dir, ignore_errors=True)
-        sc_lo_dir = os.path.join(work, f"idx_scale_c{LOW_CORES}")
-        sc_lo_sec, _ = build_at(LOW_CORES, sc_corpus, sc_lo_dir,
+        # best-of-N per level, ABBA interleaved: this host is a shared VM
+        # with noisy-neighbor variance, so a single sample per level can
+        # swing the ratio by +-0.1; min-time per level is the standard
+        # noise-robust estimator and is symmetric across levels
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        hi_secs, lo_secs, sc_n = [], [], 0
+        for _ in range(repeats):
+            sc_hi_dir = os.path.join(work, f"idx_scale_c{HIGH_CORES}")
+            s_, sc_n = build_at(HIGH_CORES, sc_corpus, sc_hi_dir,
                                 warmup_dir=warm)
-        shutil.rmtree(sc_lo_dir, ignore_errors=True)
+            hi_secs.append(s_)
+            shutil.rmtree(sc_hi_dir, ignore_errors=True)
+            sc_lo_dir = os.path.join(work, f"idx_scale_c{LOW_CORES}")
+            s_, _ = build_at(LOW_CORES, sc_corpus, sc_lo_dir,
+                             warmup_dir=warm)
+            lo_secs.append(s_)
+            shutil.rmtree(sc_lo_dir, ignore_errors=True)
+        sc_hi_sec, sc_lo_sec = min(hi_secs), min(lo_secs)
         lo_tp, hi2_tp = sc_n / sc_lo_sec, sc_n / sc_hi_sec
         eff = (hi2_tp / lo_tp) / (HIGH_CORES / LOW_CORES)
         scaling = {
             "scale_turns": sc_n,
+            "runs_sec": {"low": [round(x, 1) for x in lo_secs],
+                         "high": [round(x, 1) for x in hi_secs]},
             "low_cores": LOW_CORES,
             "low_turns_per_sec": round(lo_tp, 1),
             "high_cores": HIGH_CORES,

@@ -582,11 +582,30 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
         _stage_docmap(spark, transcripts, index_dir, cfg, seg=0, doc_base=0)
     if not (resume and store.stage_committed(index_dir, "postings")):
         _stage_postings(spark, index_dir, cfg, seg=0)
-    if not (resume and store.stage_committed(index_dir, "term_stats")):
-        _stage_term_stats(spark, index_dir)
-    if not (resume and store.stage_committed(index_dir, "lineage")):
-        _stage_lineage(spark, index_dir, cfg, time.time() - t0)
+    _run_tail_stages(spark, index_dir, cfg, time.time() - t0, resume)
     return store.read_manifest(index_dir)
+
+
+def _run_tail_stages(spark: SparkSession, index_dir: str, cfg: BuildConfig,
+                     elapsed: float, resume: bool = True) -> None:
+    """term_stats and lineage both roll up postings metadata with no
+    mutual dependency — run them as CONCURRENT Spark jobs (two driver
+    threads) so their scheduling latency overlaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = []
+    if not (resume and store.stage_committed(index_dir, "term_stats")):
+        jobs.append(lambda: _stage_term_stats(spark, index_dir))
+    if not (resume and store.stage_committed(index_dir, "lineage")):
+        jobs.append(lambda: _stage_lineage(spark, index_dir, cfg, elapsed))
+    if len(jobs) == 2:
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(j) for j in jobs]
+            for f in futs:
+                f.result()
+    else:
+        for j in jobs:
+            j()
 
 
 def append_segment(spark: SparkSession, transcripts: DataFrame,
@@ -626,6 +645,145 @@ def append_segment(spark: SparkSession, transcripts: DataFrame,
     m["next_seg"] = seg + 1
     store.write_manifest(index_dir, m)
     return m
+
+
+def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
+                           salt_df_threshold: int, salt_target: int):
+    """applyInPandas kernel over ALL of one term's blocks (every segment,
+    every salt): decode, globally re-sort, RE-SALT against the compacted
+    doc range, re-encode.  Re-salting is required because per-segment
+    salts were computed against different max_doc values, so their
+    numeric order no longer follows doc order once segments merge.
+
+    Note (10^12 scale): this groups by term alone, so one task holds a
+    hot term's full list; the production refinement shuffles hot terms
+    by doc-range band first (same discipline as the build) — compaction
+    is an offline maintenance op, so the simple form is used here."""
+    from .codec import decode_block, decode_positions, encode_positions
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        d_parts, t_parts, n_parts, p_parts = [], [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t = decode_block(
+                dict(kind=r.kind, payload=r.payload, doc_count=r.doc_count,
+                     first_doc=r.first_doc)
+            )
+            d_parts.append(d)
+            t_parts.append(t)
+            n_parts.append(np.frombuffer(r.norms_payload, dtype=np.uint8))
+            if positions:
+                p_parts.extend(decode_positions(r.pos_payload, t))
+        docs = np.concatenate(d_parts)
+        tfs = np.concatenate(t_parts)
+        norms = np.concatenate(n_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, norms = docs[order], tfs[order], norms[order]
+        if positions:
+            p_parts = [p_parts[j] for j in order]
+        n_salt = (
+            int(np.ceil(docs.size / salt_target))
+            if docs.size > salt_df_threshold else 1
+        )
+        if n_salt > 1:
+            salts = (docs * n_salt // max(max_doc, 1)).astype(np.int32)
+            bounds = (np.flatnonzero(np.diff(salts)) + 1).tolist()
+            edges = [0] + bounds + [docs.size]
+        else:
+            edges = [0, docs.size]
+        ntab = NORM_TABLE[norms]
+        bucket = term_bucket(term, n_buckets)
+        rows = []
+        for pi in range(len(edges) - 1):
+            s0, s1 = edges[pi], edges[pi + 1]
+            salt = (
+                int(docs[s0] * n_salt // max(max_doc, 1)) if n_salt > 1 else 0
+            )
+            off = 0
+            for blk in encode_blocks(docs[s0:s1], tfs[s0:s1]):
+                e = off + blk["doc_count"]
+                rows.append(
+                    (
+                        term, salt, blk["block_id"], blk["kind"],
+                        blk["first_doc"], blk["last_doc"], blk["doc_count"],
+                        int(tfs[s0 + off : s0 + e].sum()), blk["payload"],
+                        norms[s0 + off : s0 + e].tobytes(),
+                        encode_positions(p_parts[s0 + off : s0 + e])
+                        if positions else None,
+                        blk["max_tf"],
+                        float(ntab[s0 + off : s0 + e].min()),
+                        bucket,
+                    )
+                )
+                off = e
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "salt", "block_id", "kind", "first_doc", "last_doc",
+                "doc_count", "sum_tf", "payload", "norms_payload",
+                "pos_payload", "max_tf", "min_ntab", "bucket",
+            ],
+        )
+
+    return merge
+
+
+def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
+                  cfg: BuildConfig | None = None) -> dict:
+    """Merge every segment of an index into a single-segment index at
+    `out_dir` — the SegmentMerger / TieredMergePolicy maintenance pass
+    (index/SegmentMerger.java:80-133; TieredMergePolicy.java:81-86).
+    docIDs are preserved (no docmap rebase needed: per-segment docBases
+    already form one global sequence), postings are block-merged WITHOUT
+    re-analysis, and the compacted manifest commits atomically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    params = store.get_params(index_dir)
+    cfg = cfg or BuildConfig(
+        n_buckets=int(params.get("n_buckets", 16)),
+        k1=float(params.get("k1", 1.2)),
+        b=float(params.get("b", 0.75)),
+        salt_df_threshold=int(params.get("salt_df_threshold", 200_000)),
+        positions=bool(params.get("positions", False)),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    store.set_params(
+        out_dir,
+        {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
+         "salt_df_threshold": cfg.salt_df_threshold,
+         "positions": cfg.positions},
+    )
+    fs = read_field_stats(index_dir)
+    # consolidated docmap (docIDs unchanged)
+    spark.read.parquet(os.path.join(index_dir, "docmap")).drop("seg").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "docmap", "seg=0"))
+    fs_dir = os.path.join(out_dir, "field_stats", "seg=0")
+    os.makedirs(fs_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({k: pa.array([int(v)], pa.int64()) for k, v in fs.items()}),
+        os.path.join(fs_dir, "part-0.parquet"),
+    )
+    store.commit_stage(out_dir, "docmap", {"max_doc": fs["max_doc"]})
+    store.commit_stage(out_dir, "field_stats")
+    blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
+    merge = _compact_group_factory(
+        cfg.n_buckets, cfg.positions, fs["max_doc"],
+        cfg.salt_df_threshold, cfg.salt_target,
+    )
+    (
+        blocks.groupBy("term").applyInPandas(merge, POSTINGS_SCHEMA)
+        .repartition(max(cfg.n_buckets, 1), "bucket")
+        .sortWithinPartitions("term", "salt", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "postings", "seg=0"))
+    )
+    store.commit_stage(out_dir, "postings")
+    _stage_term_stats(spark, out_dir)
+    _stage_lineage(spark, out_dir, cfg, 0.0)
+    return store.read_manifest(out_dir)
 
 
 def validate_index(spark: SparkSession, transcripts: DataFrame, index_dir: str) -> dict:

@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+
+#: serializes manifest read-modify-write across driver threads (tail
+#: stages commit concurrently)
+_MANIFEST_LOCK = threading.Lock()
 
 MANIFEST = "_manifest.json"
 STAGES = ("docmap", "field_stats", "postings", "term_stats", "lineage")
@@ -56,15 +61,17 @@ def write_manifest(index_dir: str, manifest: dict) -> None:
 
 def commit_stage(index_dir: str, stage: str, info: dict | None = None) -> dict:
     """Atomically record a stage as committed (tmp+rename, like the
-    reference's two-phase segments_N publish)."""
-    m = read_manifest(index_dir)
-    m["version"] += 1
-    m["committed"][stage] = {"at": time.time(), **(info or {})}
-    tmp = manifest_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
-    os.replace(tmp, manifest_path(index_dir))
-    return m
+    reference's two-phase segments_N publish); safe under concurrent
+    driver threads."""
+    with _MANIFEST_LOCK:
+        m = read_manifest(index_dir)
+        m["version"] += 1
+        m["committed"][stage] = {"at": time.time(), **(info or {})}
+        tmp = manifest_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, manifest_path(index_dir))
+        return m
 
 
 def stage_committed(index_dir: str, stage: str) -> bool:

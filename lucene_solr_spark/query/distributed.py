@@ -289,6 +289,38 @@ class DistributedSearcher:
             for r in self.search_df(query, k).collect()
         ]
 
+    def search_conversations(self, query, k: int = 10,
+                             mode: str = "max") -> DataFrame:
+        """Parent/child block join: roll turn-level BM25 hits up to their
+        conversations (ToParentBlockJoinQuery with ScoreMode.Max/Total,
+        lucene/join/.../ToParentBlockJoinQuery.java) —
+        groupBy(conv_id).agg(max|sum|avg(turn score)).  Returns
+        DataFrame(conv_id, score float, n_hits) top-k by (score desc,
+        conv_id asc)."""
+        agg = {"max": F.max, "sum": F.sum, "avg": F.avg}[mode]
+        node = parse_query(query) if isinstance(query, str) else query
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
+            return self.spark.createDataFrame(
+                [], "conv_id string, score float, n_hits long"
+            )
+        terms = _terms_of(node)
+        scored = self._scored_terms_df(terms)
+        plan = self._plan(node, scored, [0]).select("doc_id", "score")
+        docmap = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "conv_id")
+        return (
+            plan.join(docmap, "doc_id")
+            .groupBy("conv_id")
+            .agg(
+                agg(F.col("score").cast("double")).cast("float").alias("score"),
+                F.count("*").alias("n_hits"),
+            )
+            .orderBy(F.desc("score"), F.asc("conv_id"))
+            .limit(k)
+        )
+
     def fetch_topk_with_source(self, query, transcripts: DataFrame, k: int = 10
                                ) -> DataFrame:
         """Two-phase fetch (Solr GET_FIELDS): broadcast-join the tiny top-k

@@ -465,7 +465,25 @@ class LocalSearcher:
         return docs, total.astype(np.float32)
 
     # ------------------------------------------------------------- api
-    def search(self, query, k: int = 10) -> list[tuple[int, float]]:
+    def search_after(self, query, after: tuple[int, float],
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Keyset pagination (IndexSearcher.searchAfter,
+        search/IndexSearcher.java:411-446): the next page strictly after
+        cursor `after` = (doc_id, score) in (score desc, docID asc)
+        order — keep docs with score < after.score, or equal score and
+        docID > after.doc."""
+        a_doc, a_score = int(after[0]), np.float32(after[1])
+        hits = self.search(query, k=None)
+        out = [
+            (d, s) for d, s in hits
+            if np.float32(s) < a_score
+            or (np.float32(s) == a_score and d > a_doc)
+        ]
+        return out[:k]
+
+    def search(self, query, k: int | None = 10) -> list[tuple[int, float]]:
+        """Top-k hits as (doc_id, float32 score); k=None returns ALL
+        matches in (score desc, docID asc) order (the searchAfter base)."""
         node = parse_query(query) if isinstance(query, str) else query
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
@@ -474,6 +492,7 @@ class LocalSearcher:
         self._load_terms(terms)
         if (
             self.pruning
+            and k is not None
             and node[0] == "or"
             and all(c[0] == "term" for c in node[1])
             and len(set(t for _, t in node[1])) == len(node[1])

@@ -162,3 +162,55 @@ def test_distributed_extended(spark, index_dir, oracle):
         assert [(d_, np.float32(s)) for d_, s in got] == [
             (d_, np.float32(s)) for d_, s in want
         ], q
+
+
+def test_search_after_pagination(searcher, oracle):
+    """searchAfter keyset pagination: pages concatenate to the full
+    ranking with no gaps or duplicates (IndexSearcher.searchAfter)."""
+    q = "ba* OR cache OR retry OR deploy"
+    full = searcher.search(q, k=None)
+    assert len(full) > 15
+    pages, after = [], None
+    while True:
+        page = (
+            searcher.search(q, 7) if after is None
+            else searcher.search_after(q, after, 7)
+        )
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1]
+    assert pages == full
+
+
+def test_conversation_block_join(spark, index_dir, oracle):
+    """ToParentBlockJoin rollup: conversation score = max/sum of its
+    turn scores; verified against a driver-side rollup of the oracle's
+    full turn ranking."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    dm = pq.read_table(
+        os.path.join(index_dir, "docmap"), columns=["doc_id", "conv_id"]
+    ).to_pandas()
+    d2c = dict(zip(dm["doc_id"], dm["conv_id"]))
+    ds = DistributedSearcher(spark, index_dir)
+    node = parse_query("cache OR deploy")
+    turn_hits = oracle.search(node, 10**9)
+    for mode, fn in [("max", max), ("sum", sum)]:
+        want: dict[str, list] = {}
+        for d, s in turn_hits:
+            want.setdefault(d2c[d], []).append(s)
+        want_rolled = sorted(
+            ((np.float32(fn(np.asarray(v, dtype=np.float64))), c)
+             for c, v in want.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        got = [
+            (np.float32(r["score"]), r["conv_id"])
+            for r in ds.search_conversations("cache OR deploy", 5, mode).collect()
+        ]
+        assert got == [(s, c) for s, c in want_rolled], mode

@@ -121,3 +121,33 @@ def test_streaming_ingest(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert read_field_stats(idx)["max_doc"] == n_total
+
+
+def test_compaction_equivalence(spark, tmp_path):
+    """Compacting a multi-segment index into one segment preserves stats
+    and is rank-identical (SegmentMerger semantics, docIDs unchanged)."""
+    from lucene_solr_spark.index.builder import compact_index
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    cfg = BuildConfig(n_buckets=4, positions=True, salt_df_threshold=40,
+                      salt_target=50)
+    full = gen_transcripts_df(spark, n_convs=24, seed=9)
+    inc = str(tmp_path / "inc2")
+    build_index(spark, full.filter("conv_id < 'conv00000008'"), inc, cfg)
+    append_segment(spark, full.filter(
+        "conv_id >= 'conv00000008' AND conv_id < 'conv00000016'"), inc)
+    append_segment(spark, full.filter("conv_id >= 'conv00000016'"), inc)
+
+    out = str(tmp_path / "compacted")
+    compact_index(spark, inc, out)
+
+    assert read_field_stats(inc) == read_field_stats(out)
+    assert _term_stats_pdf(inc).equals(_term_stats_pdf(out))
+    segs = [s for s in os.listdir(os.path.join(out, "postings"))
+            if s.startswith("seg=")]
+    assert segs == ["seg=0"]
+
+    s1, s2 = LocalSearcher(inc), LocalSearcher(out)
+    for q in ["retry AND deploy", "cache", "ba*", '"fix test flake"',
+              "bakeka OR dupa OR cache", "retry -deploy"]:
+        assert s1.search(q, 10) == s2.search(q, 10), q
