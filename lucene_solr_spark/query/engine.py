@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import lru_cache
 
 import numpy as np
 import pyarrow.dataset as pads
@@ -47,7 +46,7 @@ class _TermPostings:
     """Decoded-on-demand posting list of one term: sorted docs, tfs, norms,
     plus per-block metadata for range skipping."""
 
-    __slots__ = ("term", "n_docs", "blocks", "_decoded")
+    __slots__ = ("term", "n_docs", "blocks", "_decoded", "_full")
 
     def __init__(self, term: str, block_rows: list[dict]):
         self.term = term
@@ -60,6 +59,7 @@ class _TermPostings:
         )
         self.n_docs = sum(b["doc_count"] for b in self.blocks)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray]:
         fd = np.array([b["first_doc"] for b in self.blocks], dtype=np.int64)
@@ -99,6 +99,8 @@ class _TermPostings:
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.uint8),
             )
+        if len(idxs) == len(self.blocks):
+            return self.decode_all()  # cached concatenation
         parts = [self.decode(i) for i in idxs]
         return (
             np.concatenate([p[0] for p in parts]),
@@ -107,7 +109,20 @@ class _TermPostings:
         )
 
     def decode_all(self):
-        return self.decode_blocks(range(len(self.blocks)))
+        if self._full is None:
+            parts = [self.decode(i) for i in range(len(self.blocks))]
+            if not parts:
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.uint8),
+                )
+            self._full = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+        return self._full
 
 
 class LocalSearcher:
@@ -193,7 +208,7 @@ class LocalSearcher:
         docs, tfs, norms = tp.decode_blocks(idxs)
         if docs.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        mask = np.isin(docs, candidates, assume_unique=True)
+        mask = _sorted_isin(docs, candidates)
         wv = self._weight_value(tp.n_docs)
         return docs[mask], self._score_arrays(tfs[mask], norms[mask], wv)
 
@@ -306,6 +321,18 @@ class LocalSearcher:
         return cand, scores
 
     def _eval(self, node) -> tuple[np.ndarray, np.ndarray]:
+        # per-search memo: composite subtrees are evaluated once even
+        # when referenced by both the candidate pass and the scoring
+        # pass of an enclosing AND (results are immutable arrays)
+        memo = getattr(self, "_eval_memo", None)
+        if memo is not None and id(node) in memo:
+            return memo[id(node)]
+        out = self._eval_inner(node)
+        if memo is not None:
+            memo[id(node)] = out
+        return out
+
+    def _eval_inner(self, node) -> tuple[np.ndarray, np.ndarray]:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
@@ -330,7 +357,7 @@ class LocalSearcher:
             if docs.size == 0:
                 return docs, scores
             neg = self._docs_of(node[2])
-            keep = ~np.isin(docs, neg, assume_unique=True)
+            keep = ~_sorted_isin(docs, neg)
             return docs[keep], scores[keep]
         if kind == "reqopt":
             # ReqOptSumScorer: required docs, + optional score where present
@@ -340,7 +367,7 @@ class LocalSearcher:
             od, os_ = self._eval(node[2])
             total = rs.astype(np.float64)
             if od.size:
-                m = np.isin(od, rd, assume_unique=True)
+                m = _sorted_isin(od, rd)
                 od, os_ = od[m], os_[m]
                 total[np.searchsorted(rd, od)] += os_.astype(np.float64)
             return rd, total.astype(np.float32)
@@ -379,7 +406,7 @@ class LocalSearcher:
                     cd, cs = self._term_lookup(ch[1], cand)
                 else:
                     cd, cs = self._eval(ch)
-                    m = np.isin(cd, cand, assume_unique=True)
+                    m = _sorted_isin(cd, cand)
                     cd, cs = cd[m], cs[m]
                 idx = np.searchsorted(cand, cd)
                 total[idx] += cs.astype(np.float64)
@@ -399,6 +426,11 @@ class LocalSearcher:
         raise ValueError(kind)
 
     # -------------------------------------------- pruned top-level OR
+    def _mostly_undecoded(self, terms: list[str]) -> bool:
+        total = sum(len(self._term_cache[t].blocks) for t in terms)
+        cached = sum(len(self._term_cache[t]._decoded) for t in terms)
+        return total > 0 and cached < total // 2
+
     def _block_ubs(self, tp: "_TermPostings", wv: float) -> np.ndarray:
         """Sound per-block score upper bounds from (max_tf, min_ntab):
         score <= wv * mt / (mt + k1*((1-b) + b*min_ntab/avgdl)).  Both
@@ -490,23 +522,55 @@ class LocalSearcher:
             return []
         terms = self._collect_terms(node)
         self._load_terms(terms)
+        self._eval_memo: dict = {}
         if (
             self.pruning
             and k is not None
             and node[0] == "or"
             and all(c[0] == "term" for c in node[1])
             and len(set(t for _, t in node[1])) == len(node[1])
+            and self._mostly_undecoded([t for _, t in node[1]])
         ):
+            # cold lists: block-max pruning avoids decoding
+            # never-competitive blocks.  Warm lists (decode cache full)
+            # score faster through the vectorized flat-OR path — the
+            # cost-based strategy choice Lucene makes in
+            # BooleanWeight.bulkScorer (windowed BooleanScorer vs
+            # per-doc scorers).
             docs, scores = self._search_or_pruned([t for _, t in node[1]], k)
         else:
             docs, scores = self._eval(node)
-        if docs.size == 0:
-            return []
-        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
-        return [(int(docs[i]), float(scores[i])) for i in order]
+        return _topk_hits(docs, scores, k)
 
 
 def _kth_best(scores: np.ndarray, k: int) -> float:
     if scores.size < k:
         return -np.inf
     return float(np.partition(scores, -k)[-k])
+
+
+def _sorted_isin(values: np.ndarray, sorted_unique: np.ndarray) -> np.ndarray:
+    """Membership of `values` in a SORTED-UNIQUE array — O(n log m)
+    searchsorted, avoiding np.isin's internal sort of both inputs (our
+    posting doc arrays are always sorted and unique)."""
+    if sorted_unique.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    idx = np.searchsorted(sorted_unique, values)
+    idx[idx == sorted_unique.size] = sorted_unique.size - 1
+    return sorted_unique[idx] == values
+
+
+def _topk_hits(docs: np.ndarray, scores: np.ndarray,
+               k: int | None) -> list[tuple[int, float]]:
+    """(score desc, docID asc) top-k without a full sort: partition on
+    the k-th score, lexsort only the surviving candidates (incl. ties at
+    the threshold so the docID tie-break is exact —
+    HitQueue.java:76-81)."""
+    if docs.size == 0:
+        return []
+    if k is not None and 0 < k < docs.size:
+        kth = np.partition(scores, docs.size - k)[docs.size - k]
+        keep = np.flatnonzero(scores >= kth)
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order]
