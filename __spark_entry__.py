@@ -655,6 +655,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_features_q(spark, sf):
         return text_features(_tbl(spark, sf, "documents"))
 
+    def index_validation(spark, sf):
+        # CheckIndex + the north_rule per-row invariant THROUGH the gate:
+        # per-turn text equality under stable ordering (text_sha join),
+        # monotone blocks, unique dense docIDs — all must be clean
+        from lucene_solr_spark.index.builder import validate_index
+
+        idx = _ensure_index(spark, sf)
+        rep = validate_index(spark, _documents_as_transcripts(spark, sf), idx)
+        return spark.createDataFrame(
+            [(rep["n_docs"], rep["text_mismatches"], rep["bad_blocks"],
+              rep["duplicate_doc_ids"])],
+            "n_docs long, text_mismatches long, bad_blocks long, "
+            "duplicate_doc_ids long",
+        )
+
     def ann_lsh_topk(spark, sf):
         e = _tbl(spark, sf, "embeddings")
         q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -702,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_features": text_features_q,
         "ann_lsh_topk": ann_lsh_topk,
+        "index_validation": index_validation,
     }
 
 
@@ -1093,4 +1109,9 @@ FROM documents
 SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "index_validation": """
+SELECT COUNT(*)::BIGINT AS n_docs, 0::BIGINT AS text_mismatches,
+       0::BIGINT AS bad_blocks, 0::BIGINT AS duplicate_doc_ids
+FROM documents
+""",
     }
