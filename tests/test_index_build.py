@@ -116,3 +116,45 @@ def test_salted_hot_terms_roundtrip(spark, tmp_path, oracle):
     assert [(h[0], np.float32(h[1])) for h in hits] == [
         (int(d_), np.float32(s_)) for d_, s_ in want
     ]
+
+
+def test_skewed_corpus_rank_identity(spark, tmp_path):
+    """SURVEY.md §7 hard-part 5: the skewed corpus variant (5 hot terms
+    in >30% of turns) with salting enabled must stay rank-identical to
+    the oracle on hot-term queries."""
+    from lucene_solr_spark.index.builder import BuildConfig, build_index
+    from lucene_solr_spark.oracle import LuceneOracle
+    from lucene_solr_spark.query.engine import LocalSearcher
+    from lucene_solr_spark.sources import gen_transcripts_df
+    from lucene_solr_spark.sources.transcripts import (
+        HOT_TERMS, gen_transcripts_pdf,
+    )
+
+    d = str(tmp_path / "skewed")
+    df = gen_transcripts_df(spark, n_convs=40, seed=42, skew=True)
+    build_index(
+        spark, df, d,
+        BuildConfig(n_buckets=4, salt_df_threshold=100, salt_target=120),
+    )
+    pdf = (
+        gen_transcripts_pdf(40, seed=42, skew=True)
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    oracle = LuceneOracle().build(
+        list(zip(range(len(pdf)), pdf["text"].tolist()))
+    )
+    # hot terms really are hot (exercises salting), and salted
+    hot_df = len(oracle.postings[HOT_TERMS[0]][0])
+    assert hot_df > 100
+    s = LocalSearcher(d)
+    queries = [
+        ("term", HOT_TERMS[0]),
+        ("or", [("term", HOT_TERMS[0]), ("term", HOT_TERMS[1])]),
+        ("and", [("term", HOT_TERMS[0]), ("term", "retry")]),
+    ]
+    for node in queries:
+        got = s.search(node, 10)
+        want = oracle.search(node, 10)
+        assert [(x, np.float32(y)) for x, y in got] == [
+            (x, np.float32(y)) for x, y in want
+        ], node
