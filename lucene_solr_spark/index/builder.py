@@ -530,7 +530,16 @@ def _stage_term_stats(spark: SparkSession, index_dir: str) -> None:
         F.sum("doc_count").cast("long").alias("doc_freq"),
         F.sum("sum_tf").alias("total_term_freq"),
     )
-    ts.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    # term-sorted layout: parquet row-group min/max stats on `term` become
+    # tight, so multi-term rewrites (prefix/range pushdown in
+    # query/multiterm.expand_from_dataset) prune row groups instead of
+    # scanning the whole dictionary — the FST-ordered terms dict analogue
+    (
+        ts.repartitionByRange(max(1, ts.sparkSession.sparkContext.defaultParallelism // 4), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "term_stats"))
+    )
     store.commit_stage(index_dir, "term_stats")
 
 

