@@ -157,41 +157,6 @@ def _decoded_postings(spark: SparkSession, idx: str, terms: list[str],
     return post.mapInPandas(dec, schema)
 
 
-def _bm25_base(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
-    """Per (term, doc) double-precision BM25 partial scores from the index:
-    DF(term, doc_id, score double) using exact tf/df/dl/docCount."""
-    idx = _ensure_index(spark, sf_dir)
-    tp = _decoded_postings(spark, idx, terms)
-    ts = (
-        spark.read.parquet(os.path.join(idx, "term_stats"))
-        .filter(F.col("term").isin(terms))
-        .select("term", "doc_freq")
-    )
-    from lucene_solr_spark.index.builder import read_field_stats
-
-    fs = read_field_stats(idx)
-    dc = int(fs["doc_count"])
-    avgdl = float(fs["sum_total_term_freq"]) / dc
-    dl = spark.read.parquet(os.path.join(idx, "docmap")).select("doc_id", "dl")
-    scored = (
-        tp.join(F.broadcast(ts), "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "score",
-            F.log(F.lit(1.0) + (F.lit(dc) - F.col("doc_freq") + 0.5)
-                  / (F.col("doc_freq") + 0.5))
-            * F.lit(K1 + 1.0)
-            * F.col("tf").cast("double")
-            / (
-                F.col("tf").cast("double")
-                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-            ),
-        )
-        .select("term", "doc_id", "score")
-    )
-    return scored
-
-
 _BM25_SQL_SCORE = (
     f"ln(1.0 + (fs.doc_count - ts.doc_freq + 0.5) / (ts.doc_freq + 0.5)) "
     f"* {K1 + 1.0} * tf "
@@ -215,65 +180,6 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
 _PHRASE = ("table", "hash")  # frequent adjacent bigram in the documents corpus
 
 
-def _phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25-scored exact phrase query THROUGH the positional index:
-    decode positions, adjacency-intersect JVM-side
-    (array_intersect(pos_a+1, pos_b)), score with summed idfs and the
-    phrase freq (ExactPhraseScorer + BM25Similarity semantics, double
-    precision for the DuckDB twin)."""
-    t1, t2 = _PHRASE
-    idx = _ensure_index(spark, sf_dir)
-    tp = _decoded_postings(spark, idx, [t1, t2], positions=True)
-    a = tp.filter(F.col("term") == t1).select(
-        "doc_id", F.col("pos").alias("pos_a")
-    )
-    b = tp.filter(F.col("term") == t2).select(
-        "doc_id", F.col("pos").alias("pos_b")
-    )
-    ts = spark.read.parquet(os.path.join(idx, "term_stats")).filter(
-        F.col("term").isin([t1, t2])
-    ).collect()
-    dfs = {r["term"]: int(r["doc_freq"]) for r in ts}
-    from lucene_solr_spark.index.builder import read_field_stats
-
-    fs = read_field_stats(idx)
-    dc = int(fs["doc_count"])
-    avgdl = float(fs["sum_total_term_freq"]) / dc
-    import math
-
-    idf_sum = sum(
-        math.log(1.0 + (dc - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
-        for t in (t1, t2)
-    )
-    dl = spark.read.parquet(os.path.join(idx, "docmap")).select("doc_id", "dl")
-    joined = (
-        a.join(b, "doc_id")
-        .withColumn(
-            "freq",
-            F.size(
-                F.array_intersect(
-                    F.transform(F.col("pos_a"), lambda p: p + 1),
-                    F.col("pos_b"),
-                )
-            ),
-        )
-        .filter(F.col("freq") > 0)
-        .join(dl, "doc_id")
-        .withColumn(
-            "score",
-            F.lit(idf_sum)
-            * F.lit(K1 + 1.0)
-            * F.col("freq").cast("double")
-            / (
-                F.col("freq").cast("double")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-            ),
-        )
-    )
-    return joined.select("doc_id", "freq", "score")
-
-
 # ----------------------------------------------- relational stream family
 
 
@@ -284,17 +190,24 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------- contract
 
 
+def _engine64(spark: SparkSession, sf_dir: str):
+    """The REAL distributed query engine over the gate index, in its
+    double-precision gate mode (exact tf/df/dl scoring, DuckDB-stable —
+    see query/distributed.py docstring).  Every BM25/phrase gate entry
+    runs through the full parse -> rewrite -> DataFrame-plan path."""
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return DistributedSearcher(spark, idx, dtype="float64")
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: end-to-end index build + boolean BM25 top-10 on sf0.001."""
-    sf_dir = "/root/testdata/sf0.001"
-    scored = _bm25_base(spark, sf_dir, ["batch", "query"])
+    """Flagship: end-to-end index build + boolean BM25 top-10 on sf0.001,
+    through the distributed engine."""
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("score").alias("s"), F.count("*").alias("n"))
-        .filter(F.col("n") == 2)  # batch AND query
-        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
-        .orderBy(F.desc("s"), F.asc("doc_id"))
-        .limit(10)
+        _engine64(spark, "/root/testdata/sf0.001")
+        .search_df("batch AND query", 10)
+        .select("doc_id", F.round("score", 4).alias("score"))
     )
 
 
@@ -327,63 +240,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "norm_byte"
         )
 
-    def bm25_term_hi(spark, sf):
-        s = _bm25_base(spark, sf, ["batch"])
+    def _topk_engine(spark, sf, query, k=10):
         return (
-            s.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
+            _engine64(spark, sf)
+            .search_df(query, k)
             .select("doc_id", F.round("score", 4).alias("score"))
         )
+
+    def bm25_term_hi(spark, sf):
+        return _topk_engine(spark, sf, "batch")
 
     def bm25_term_rare(spark, sf):
-        s = _bm25_base(spark, sf, ["dup"])
-        return (
-            s.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id", F.round("score", 4).alias("score"))
-        )
+        return _topk_engine(spark, sf, "dup")
 
     def bm25_and(spark, sf):
-        s = _bm25_base(spark, sf, ["batch", "query"])
-        return (
-            s.groupBy("doc_id")
-            .agg(F.sum("score").alias("raw"), F.count("*").alias("n"))
-            .filter(F.col("n") == 2)
-            .orderBy(F.desc("raw"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id", F.round("raw", 4).alias("score"))
-        )
+        return _topk_engine(spark, sf, "batch AND query")
 
     def bm25_or(spark, sf):
-        s = _bm25_base(spark, sf, ["batch", "dup"])
-        return (
-            s.groupBy("doc_id")
-            .agg(F.sum("score").alias("raw"))
-            .orderBy(F.desc("raw"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id", F.round("raw", 4).alias("score"))
-        )
+        return _topk_engine(spark, sf, "batch OR dup")
 
     def bm25_mixed(spark, sf):
-        # (batch OR dup) AND query
-        s = _bm25_base(spark, sf, ["batch", "dup", "query"])
-        left = (
-            s.filter(F.col("term").isin(["batch", "dup"]))
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("s_or"))
-        )
-        right = s.filter(F.col("term") == "query").select(
-            "doc_id", F.col("score").alias("s_q")
-        )
-        return (
-            left.join(right, "doc_id")
-            .withColumn("raw", F.col("s_or") + F.col("s_q"))
-            .orderBy(F.desc("raw"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id", F.round("raw", 4).alias("score"))
-        )
+        return _topk_engine(spark, sf, "(batch OR dup) AND query")
+
+    def bm25_msm(spark, sf):
+        # minimumNumberShouldMatch=2 over three SHOULD terms
+        # (MinShouldMatchSumScorer semantics)
+        return _topk_engine(spark, sf, "(batch dup key)@2")
 
     def facet_top_terms(spark, sf):
         idx = _ensure_index(spark, sf)
@@ -470,12 +352,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ------------------------------------------------- phrase / positions
     def phrase_query(spark, sf):
-        return (
-            _phrase_scored(spark, sf)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id", "freq", F.round("score", 4).alias("score"))
-        )
+        # exact phrase through the engine's distributed positional plan
+        t1, t2 = _PHRASE
+        return _topk_engine(spark, sf, f'"{t1} {t2}"')
+
+    def phrase_sloppy(spark, sf):
+        # sloppy-phrase MEMBERSHIP (all docs where "t1 t2"~2 matches):
+        # SQL-checkable because for a 2-term phrase freq>0 iff some
+        # position pair sits within the slop; the sloppy SCORES
+        # (greedy-window freq, SloppyPhraseScorer) are locked by the
+        # pytest rank-identity suite against the numpy oracle
+        t1, t2 = _PHRASE
+        return _engine64(spark, sf).matching_docs_df(f'"{t1} {t2}"~2')
 
     # --------------------------------------------- Solr stream operators
     from lucene_solr_spark.operators import (
@@ -687,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
         "bm25_mixed": bm25_mixed,
+        "bm25_msm": bm25_msm,
+        "phrase_sloppy": phrase_sloppy,
         "facet_top_terms": facet_top_terms,
         "prefix_expand": prefix_expand,
         "term_in_set_count": term_in_set_count,
@@ -844,15 +734,23 @@ _TEXTFEAT_COLS = f"""
 """
 
 
+#: positional tokenization of the documents corpus (positions = raw token
+#: index, since every dropped token advances the position — the
+#: skippedPositions discipline)
+_PTOK_CTE = f"""
+sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+praw AS (SELECT doc_id, unnest(sp) AS t, generate_subscripts(sp, 1) - 1 AS pos
+        FROM sp),
+ptok AS (SELECT doc_id, t, pos FROM praw
+         WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOPS_SQL}))
+"""
+
+
 def _phrase_oracle_sql() -> str:
     t1, t2 = _PHRASE
     return f"""
 WITH {_TOK_CTE},
-sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-raw AS (SELECT doc_id, unnest(sp) AS t, generate_subscripts(sp, 1) - 1 AS pos
-        FROM sp),
-ptok AS (SELECT doc_id, t, pos FROM raw
-         WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOPS_SQL})),
+{_PTOK_CTE},
 fr AS (
   SELECT a.doc_id, count(*)::INT AS freq
   FROM (SELECT doc_id, pos FROM ptok WHERE t = '{t1}') a
@@ -869,12 +767,52 @@ idfs AS (
        (SELECT doc_freq FROM ts WHERE term = '{t1}') t1,
        (SELECT doc_freq FROM ts WHERE term = '{t2}') t2
 )
-SELECT doc_id, freq, ROUND(score, 4) AS score FROM (
-  SELECT fr.doc_id, fr.freq,
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT fr.doc_id,
          idfs.idf_sum * {K1 + 1.0} * fr.freq
          / (fr.freq + {K1} * ({1.0 - B} + {B} * dls.dl / idfs.avgdl)) AS score
   FROM fr JOIN dls USING (doc_id), idfs
 ) ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _phrase_sloppy_oracle_sql(slop: int = 2) -> str:
+    t1, t2 = _PHRASE
+    return f"""
+WITH {_PTOK_CTE}
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM ptok WHERE t = '{t1}') a
+JOIN (SELECT doc_id, pos FROM ptok WHERE t = '{t2}') b USING (doc_id)
+WHERE abs(a.pos - (b.pos - 1)) <= {slop}
+"""
+
+
+def _bm25_msm_oracle_sql() -> str:
+    # explicit clause-order double sums ((batch + dup) + key, 0.0 for a
+    # missing clause) so the addition order matches the engine's
+    # cidx-sorted accumulation bit-for-bit
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT tf.term, tf.doc_id, {_BM25_SQL_SCORE} AS s
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term IN ('batch', 'dup', 'key')
+),
+a AS (SELECT doc_id, s FROM scored WHERE term = 'batch'),
+b AS (SELECT doc_id, s FROM scored WHERE term = 'dup'),
+c AS (SELECT doc_id, s FROM scored WHERE term = 'key'),
+m AS (
+  SELECT COALESCE(a.doc_id, b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(a.s, 0.0) + COALESCE(b.s, 0.0) + COALESCE(c.s, 0.0) AS raw,
+         (CASE WHEN a.s IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN b.s IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN c.s IS NULL THEN 0 ELSE 1 END) AS nm
+  FROM a
+  FULL OUTER JOIN b ON a.doc_id = b.doc_id
+  FULL OUTER JOIN c ON COALESCE(a.doc_id, b.doc_id) = c.doc_id
+)
+SELECT doc_id, ROUND(raw, 4) AS score FROM m WHERE nm >= 2
+ORDER BY raw DESC, doc_id LIMIT 10
 """
 
 
@@ -989,6 +927,8 @@ SELECT vec_id, ROUND(raw, 4) AS cosine FROM sc
 ORDER BY raw DESC, vec_id LIMIT 10
 """,
         "phrase_query": _phrase_oracle_sql(),
+        "phrase_sloppy": _phrase_sloppy_oracle_sql(2),
+        "bm25_msm": _bm25_msm_oracle_sql(),
         "stream_select_having": """
 SELECT o_orderkey, o_totalprice AS total, year(o_orderdate) AS year
 FROM orders WHERE o_totalprice > 400000

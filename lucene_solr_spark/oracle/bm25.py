@@ -141,7 +141,26 @@ class LuceneOracle:
             docs, scores = self._eval(node[1])
             return docs, (scores * np.float32(node[2])).astype(np.float32)
         if kind == "phrase":
-            return self._eval_phrase(node[1])
+            return self._eval_phrase(node[1], node[2] if len(node) > 2 else 0)
+        if kind == "msm_or":
+            # MinShouldMatchSumScorer: >= n matching SHOULD clauses,
+            # score = double sum of the matching clauses' scores
+            n = node[1]
+            parts = [self._eval(c) for c in node[2]]
+            all_docs = np.concatenate([p[0] for p in parts])
+            if all_docs.size == 0:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float32))
+            docs = np.unique(all_docs)
+            total = np.zeros(docs.size, dtype=np.float64)
+            cnt = np.zeros(docs.size, dtype=np.int64)
+            for cd, cs in parts:
+                if cd.size:
+                    idx = np.searchsorted(docs, cd)
+                    np.add.at(total, idx, cs.astype(np.float64))
+                    np.add.at(cnt, idx, 1)
+            keep = cnt >= n
+            return docs[keep], total[keep].astype(np.float32)
         if kind == "andnot":
             docs, scores = self._eval(node[1])
             neg, _ = self._eval(node[2])
@@ -185,8 +204,10 @@ class LuceneOracle:
             return docs, total.astype(np.float32)
         raise ValueError(f"unknown node kind {kind!r}")
 
-    def _eval_phrase(self, clauses) -> tuple[np.ndarray, np.ndarray]:
-        """ExactPhraseScorer twin of the engine (see engine._eval_phrase)."""
+    def _eval_phrase(self, clauses, slop: int = 0
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact/SloppyPhraseScorer twin of the engine (see
+        engine._eval_phrase; sloppy freq shared spec in query/sloppy.py)."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         datas = []
         for term, rel in clauses:
@@ -200,15 +221,27 @@ class LuceneOracle:
             return empty
         locs = [(np.searchsorted(docs, cand), pos, rel)
                 for docs, pos, rel in datas]
-        freqs = np.zeros(cand.size, dtype=np.int64)
-        for ci in range(cand.size):
-            base = locs[0][1][locs[0][0][ci]] - locs[0][2]
-            for loc, pos, rel in locs[1:]:
-                base = np.intersect1d(base, pos[loc[ci]] - rel,
-                                      assume_unique=True)
-                if base.size == 0:
-                    break
-            freqs[ci] = base.size
+        if slop == 0:
+            freqs = np.zeros(cand.size, dtype=np.int64)
+            for ci in range(cand.size):
+                base = locs[0][1][locs[0][0][ci]] - locs[0][2]
+                for loc, pos, rel in locs[1:]:
+                    base = np.intersect1d(base, pos[loc[ci]] - rel,
+                                          assume_unique=True)
+                    if base.size == 0:
+                        break
+                freqs[ci] = base.size
+            freqs = freqs.astype(np.float32)
+        else:
+            from ..query.sloppy import sloppy_freq
+
+            rels = [rel for _, _, rel in datas]
+            freqs = np.zeros(cand.size, dtype=np.float32)
+            for ci in range(cand.size):
+                freqs[ci] = sloppy_freq(
+                    [pos[loc[ci]] - rel for loc, pos, rel in locs],
+                    rels, slop,
+                )
         mask = freqs > 0
         cand, freqs = cand[mask], freqs[mask]
         if cand.size == 0:
@@ -240,6 +273,8 @@ class LuceneOracle:
             return ("const_or", terms) if terms else ("matchnone",)
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
+        if kind == "msm_or":
+            return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
         if kind in ("andnot", "reqopt"):
             return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
         if kind == "boost":

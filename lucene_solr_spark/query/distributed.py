@@ -18,12 +18,17 @@ Plan shape per query:
   driver merge under AQE — the TopScoreDocCollector/TopDocs.merge shape].
 
 Scores are float32 end-to-end and rank-identical to the LocalSearcher and
-the numpy oracle.
+the numpy oracle (dtype="float32", the serving default).  dtype="float64"
+is the GATE mode: per-term scores computed in double precision from the
+exact decoded tf and the exact doc length (docmap `dl`, not the quantized
+norm byte) so an ANSI-SQL engine (DuckDB) reproduces them bit-stably —
+the same plan shapes, a DuckDB-checkable scoring surface.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -36,13 +41,16 @@ from ..index.codec import decode_block
 from ..oracle.smallfloat import NORM_TABLE
 from .parser import parse_query
 
-_SCORED_SCHEMA = "term string, doc_id long, score float"
-
 
 class DistributedSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 dtype: str = "float32"):
+        assert dtype in ("float32", "float64")
         self.spark = spark
         self.index_dir = index_dir
+        self.dtype = dtype
+        #: Spark SQL type of the score column in every plan node
+        self._st = "float" if dtype == "float32" else "double"
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             self.params = json.load(f)["params"]
         self.n_buckets = int(self.params["n_buckets"])
@@ -57,20 +65,92 @@ class DistributedSearcher:
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
 
     # ------------------------------------------------------------ plan
-    def _scored_terms_df(self, terms: list[str]) -> DataFrame:
-        """DF(term, doc_id, score float32) for all query terms in ONE
-        partition-pruned scan + decode pass."""
-        terms = sorted(set(terms))
+    def _pruned_postings(self, terms: list[str], cols: list[str]) -> DataFrame:
+        """Posting-block scan for the given terms: bucket partition
+        pruning + term predicate pushdown, column-pruned to `cols`."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select(*cols)
+        )
+
+    def _decoded_tf_df(self, terms: list[str]) -> DataFrame:
+        """DF(term, doc_id, tf int) decoded from posting blocks."""
+        post = self._pruned_postings(
+            terms, ["term", "kind", "first_doc", "block_id", "doc_count",
+                    "payload"],
+        )
+
+        def dec(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs, tfs = decode_block(
+                        dict(kind=row.kind, payload=row.payload,
+                             doc_count=row.doc_count, first_doc=row.first_doc,
+                             block_id=row.block_id)
+                    )
+                    outs.append(pd.DataFrame(
+                        {"term": row.term, "doc_id": docs,
+                         "tf": tfs.astype("int32")}
+                    ))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return post.mapInPandas(dec, "term string, doc_id long, tf int")
+
+    @property
+    def _avgdl(self) -> float:
+        return (
+            self.sum_ttf / float(self.doc_count)
+            if self.sum_ttf > 0 and self.doc_count > 0 else 1.0
+        )
+
+    def _scored_terms_df_double(self, terms: list[str]) -> DataFrame:
+        """Gate-mode per-term scores: double-precision BM25 from exact
+        tf/df/dl (docmap doc length, not the quantized norm byte) —
+        bit-stable against an ANSI-SQL twin."""
+        tp = self._decoded_tf_df(terms)
+        ts = (
+            self._term_stats.filter(F.col("term").isin(terms))
+            .select("term", "doc_freq")
+        )
+        dl = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "dl")
+        dc, avgdl, k1, b = self.doc_count, self._avgdl, self.k1, self.b
+        return (
+            tp.join(F.broadcast(ts), "term")
+            .join(dl, "doc_id")
+            .withColumn(
+                "score",
+                F.log(F.lit(1.0) + (F.lit(dc) - F.col("doc_freq") + 0.5)
+                      / (F.col("doc_freq") + 0.5))
+                * F.lit(k1 + 1.0)
+                * F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .select("term", "doc_id", "score")
+        )
+
+    def _scored_terms_df(self, terms: list[str]) -> DataFrame:
+        """DF(term, doc_id, score) for all query terms in ONE
+        partition-pruned scan + decode pass (score dtype per mode)."""
+        terms = sorted(set(terms))
+        if self.dtype == "float64":
+            return self._scored_terms_df_double(terms)
         dfs = {
             r["term"]: int(r["doc_freq"])
             for r in self._term_stats.filter(F.col("term").isin(terms)).collect()
         }
-        post = (
-            self.spark.read.parquet(self._postings_path)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "salt", "block_id", "kind", "first_doc",
-                    "doc_count", "payload", "norms_payload")
+        post = self._pruned_postings(
+            terms, ["term", "salt", "block_id", "kind", "first_doc",
+                    "doc_count", "payload", "norms_payload"],
         )
         k1 = np.float32(self.k1)
         b = np.float32(self.b)
@@ -118,10 +198,156 @@ class DistributedSearcher:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        return post.mapInPandas(score_blocks, _SCORED_SCHEMA)
+        return post.mapInPandas(
+            score_blocks, "term string, doc_id long, score float"
+        )
+
+    def _phrase_positions_df(self, terms: list[str]) -> DataFrame:
+        """DF(term, doc_id, norm int, pos array<long>): decoded positions
+        for the phrase terms, one partition-pruned scan."""
+        post = self._pruned_postings(
+            terms, ["term", "kind", "first_doc", "block_id", "doc_count",
+                    "payload", "norms_payload", "pos_payload"],
+        )
+
+        def dec(batches):
+            from ..index.codec import decode_positions
+
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    if row.pos_payload is None:
+                        raise ValueError(
+                            f"term {row.term!r}: index has no positions "
+                            "(build with BuildConfig(positions=True))"
+                        )
+                    docs, tfs = decode_block(
+                        dict(kind=row.kind, payload=row.payload,
+                             doc_count=row.doc_count, first_doc=row.first_doc,
+                             block_id=row.block_id)
+                    )
+                    norms = np.frombuffer(row.norms_payload, dtype=np.uint8)
+                    outs.append(pd.DataFrame(
+                        {"term": row.term, "doc_id": docs,
+                         "norm": norms.astype("int32"),
+                         "pos": decode_positions(row.pos_payload, tfs)}
+                    ))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return post.mapInPandas(
+            dec, "term string, doc_id long, norm int, pos array<long>"
+        )
+
+    def _phrase_plan(self, clauses, slop: int,
+                     clause_idx: list[int]) -> DataFrame:
+        """Distributed Exact/SloppyPhraseScorer (VERDICT r1 item 2 — the
+        proven DF plan folded in from the gate): decode positions for the
+        phrase terms in one pruned scan, inner-join clauses on doc_id (so
+        only docs containing EVERY term reach Python), then an
+        Arrow-batched kernel computes the phrase freq (start-position
+        intersection / sloppy.py greedy windows) and the BM25 score with
+        the summed clause idfs — float32 in serving mode, double + exact
+        dl in gate mode (semantics per search/ExactPhraseScorer.java and
+        SloppyPhraseScorer.java)."""
+        i = clause_idx[0]
+        clause_idx[0] += 1
+        terms = [t for t, _ in clauses]
+        pos_df = self._phrase_positions_df(sorted(set(terms)))
+        joined = None
+        for j, (t, _rel) in enumerate(clauses):
+            sel = [F.col("doc_id"), F.col("pos").alias(f"p{j}")]
+            if j == 0:
+                sel.append("norm")
+            cdf = pos_df.filter(F.col("term") == t).select(*sel)
+            joined = cdf if joined is None else joined.join(cdf, "doc_id")
+        dfs = {
+            r["term"]: int(r["doc_freq"])
+            for r in self._term_stats.filter(F.col("term").isin(terms))
+            .collect()
+        }
+        if self.dtype == "float64":
+            dl_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "dl")
+            joined = joined.join(dl_df, "doc_id")
+        rels = [rel for _, rel in clauses]
+        n_cl = len(clauses)
+        dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
+        dtype = self.dtype
+        st = self._st
+        if dtype == "float32":
+            k1f = np.float32(self.k1)
+            bf = np.float32(self.b)
+            avgdl_f = (
+                np.float32(self.sum_ttf / float(dc))
+                if self.sum_ttf > 0 else np.float32(1.0)
+            )
+            cache = (
+                k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / avgdl_f)
+            ).astype(np.float32)
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                df_t = dfs.get(t, 0)
+                idf_sum = np.float32(idf_sum + np.float32(
+                    np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5))
+                ))
+            wv = np.float32(idf_sum * (k1f + np.float32(1.0)))
+        else:
+            idf_sum_d = sum(
+                math.log(1.0 + (dc - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+                for t in terms
+            )
+
+        def score_phrase(batches):
+            from .sloppy import sloppy_freq
+
+            for pdf in batches:
+                n = len(pdf)
+                freqs = np.zeros(n, dtype=np.float32)
+                cols = [pdf[f"p{j}"].to_numpy() for j in range(n_cl)]
+                for r in range(n):
+                    arrs = [
+                        np.asarray(cols[j][r], dtype=np.int64) - rels[j]
+                        for j in range(n_cl)
+                    ]
+                    if slop == 0:
+                        base = arrs[0]
+                        for a in arrs[1:]:
+                            base = np.intersect1d(base, a, assume_unique=True)
+                            if base.size == 0:
+                                break
+                        freqs[r] = np.count_nonzero(base >= 0)
+                    else:
+                        freqs[r] = sloppy_freq(arrs, rels, slop)
+                keep = freqs > 0
+                if dtype == "float32":
+                    norms = pdf["norm"].to_numpy().astype(np.uint8)
+                    sc = (wv * freqs / (freqs + cache[norms])).astype(
+                        np.float32
+                    )
+                else:
+                    dl = pdf["dl"].to_numpy().astype(np.float64)
+                    fq = freqs.astype(np.float64)
+                    sc = (
+                        idf_sum_d * (k1d + 1.0) * fq
+                        / (fq + k1d * ((1.0 - bd) + bd * dl / avgdl_d))
+                    )
+                out = pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].to_numpy()[keep],
+                     "score": sc[keep]}
+                )
+                out["cidx"] = i
+                yield out
+
+        return joined.mapInPandas(
+            score_phrase, f"doc_id long, score {st}, cidx int"
+        )
 
     def _plan(self, node, scored: DataFrame, clause_idx: list[int]) -> DataFrame:
-        """Recursively build DF(doc_id, score float) for a query node."""
+        """Recursively build DF(doc_id, score, cidx) for a query node
+        (score typed per self.dtype)."""
+        st = self._st
         kind = node[0]
         if kind == "term":
             i = clause_idx[0]
@@ -135,7 +361,7 @@ class DistributedSearcher:
             i = clause_idx[0]
             clause_idx[0] += 1
             return self.spark.createDataFrame(
-                [], "doc_id long, score float, cidx int"
+                [], f"doc_id long, score {st}, cidx int"
             )
         if kind == "const_or":
             # constant-score union (MultiTermQueryConstantScoreWrapper)
@@ -147,7 +373,7 @@ class DistributedSearcher:
                 .distinct()
                 .select(
                     "doc_id",
-                    F.lit(1.0).cast("float").alias("score"),
+                    F.lit(1.0).cast(st).alias("score"),
                     F.lit(i).alias("cidx"),
                 )
             )
@@ -155,7 +381,7 @@ class DistributedSearcher:
             ch = self._plan(node[1], scored, clause_idx)
             return ch.withColumn(
                 "score",
-                (F.col("score") * F.lit(float(node[2]))).cast("float"),
+                (F.col("score") * F.lit(float(node[2]))).cast(st),
             )
         if kind == "andnot":
             pos = self._plan(node[1], scored, clause_idx)
@@ -174,13 +400,34 @@ class DistributedSearcher:
                 (
                     F.col("score").cast("double")
                     + F.coalesce(F.col("opt_s").cast("double"), F.lit(0.0))
-                ).cast("float").alias("score"),
+                ).cast(st).alias("score"),
                 "cidx",
             )
         if kind == "phrase":
-            raise NotImplementedError(
-                "phrase queries run on the serving path (LocalSearcher); "
-                "the distributed executor covers term/boolean/expansion nodes"
+            return self._phrase_plan(
+                node[1], node[2] if len(node) > 2 else 0, clause_idx
+            )
+        if kind == "msm_or":
+            # MinShouldMatchSumScorer: keep docs matching >= n SHOULD
+            # clauses, clause-order double sum of the matching scores
+            n = node[1]
+            children = [self._plan(c, scored, clause_idx) for c in node[2]]
+            u = children[0]
+            for ch in children[1:]:
+                u = u.unionByName(ch)
+            agg = u.groupBy("doc_id").agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct("cidx", F.col("score")))
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["score"].cast("double"),
+                ).alias("s"),
+                F.count("*").alias("nm"),
+                F.min("cidx").alias("cidx"),
+            ).filter(F.col("nm") >= n)
+            return agg.select(
+                "doc_id", F.col("s").cast(st).alias("score"), "cidx"
             )
         children = [self._plan(c, scored, clause_idx) for c in node[1]]
         if kind == "and":
@@ -195,7 +442,7 @@ class DistributedSearcher:
                     "doc_id", (F.col("s") + F.col("s2")).alias("s"), "cidx"
                 )
             return acc.select(
-                "doc_id", F.col("s").cast("float").alias("score"), "cidx"
+                "doc_id", F.col("s").cast(st).alias("score"), "cidx"
             )
         if kind == "or":
             u = children[0]
@@ -214,7 +461,7 @@ class DistributedSearcher:
                 F.min("cidx").alias("cidx"),
             )
             return agg.select(
-                "doc_id", F.col("s").cast("float").alias("score"), "cidx"
+                "doc_id", F.col("s").cast(st).alias("score"), "cidx"
             )
         raise ValueError(kind)
 
@@ -276,6 +523,8 @@ class DistributedSearcher:
             return _capped(terms)
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
+        if kind == "msm_or":
+            return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
         if kind in ("andnot", "reqopt"):
             return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
         if kind == "boost":
@@ -289,7 +538,9 @@ class DistributedSearcher:
         node = parse_query(query) if isinstance(query, str) else query
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
-            return self.spark.createDataFrame([], "doc_id long, score float")
+            return self.spark.createDataFrame(
+                [], f"doc_id long, score {self._st}"
+            )
         terms = _terms_of(node)
         scored = self._scored_terms_df(terms)
         plan = self._plan(node, scored, [0])
@@ -305,6 +556,17 @@ class DistributedSearcher:
             for r in self.search_df(query, k).collect()
         ]
 
+    def matching_docs_df(self, query) -> DataFrame:
+        """ALL matching docIDs, no ranking — the needsScores=false /
+        FILTER path (BooleanQuery.java:184-205; Solr fq).  Returns
+        DataFrame(doc_id long)."""
+        node = parse_query(query) if isinstance(query, str) else query
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
+            return self.spark.createDataFrame([], "doc_id long")
+        scored = self._scored_terms_df(_terms_of(node))
+        return self._plan(node, scored, [0]).select("doc_id")
+
     def search_conversations(self, query, k: int = 10,
                              mode: str = "max") -> DataFrame:
         """Parent/child block join: roll turn-level BM25 hits up to their
@@ -318,7 +580,7 @@ class DistributedSearcher:
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
             return self.spark.createDataFrame(
-                [], "conv_id string, score float, n_hits long"
+                [], f"conv_id string, score {self._st}, n_hits long"
             )
         terms = _terms_of(node)
         scored = self._scored_terms_df(terms)
@@ -330,7 +592,7 @@ class DistributedSearcher:
             plan.join(docmap, "doc_id")
             .groupBy("conv_id")
             .agg(
-                agg(F.col("score").cast("double")).cast("float").alias("score"),
+                agg(F.col("score").cast("double")).cast(self._st).alias("score"),
                 F.count("*").alias("n_hits"),
             )
             .orderBy(F.desc("score"), F.asc("conv_id"))
@@ -368,6 +630,6 @@ def _terms_of(node) -> list[str]:
     if kind == "phrase":
         return [t for t, _ in node[1]]
     out = []
-    for c in node[1]:
+    for c in (node[2] if kind == "msm_or" else node[1]):
         out.extend(_terms_of(c))
     return out

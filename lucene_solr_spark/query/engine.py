@@ -75,14 +75,17 @@ class _TermPostings:
             self._decoded[idx] = got
         return got
 
-    def decode_positions_all(self):
-        """(docs, tfs, norms, positions list-per-posting) over all blocks;
+    def decode_positions_blocks(self, idxs):
+        """(docs, tfs, norms, positions list-per-posting) for the given
+        block indexes only — phrase evaluation decodes positions just for
+        blocks whose doc range intersects the surviving candidates;
         requires an index built with BuildConfig(positions=True)."""
         from ..index.codec import decode_positions
 
-        docs, tfs, norms = self.decode_all()
+        docs, tfs, norms = self.decode_blocks(idxs)
         pos: list[np.ndarray] = []
-        for i, b in enumerate(self.blocks):
+        for i in idxs:
+            b = self.blocks[i]
             if b.get("pos_payload") is None:
                 raise ValueError(
                     f"term {self.term!r}: index has no positions "
@@ -90,6 +93,9 @@ class _TermPostings:
                 )
             pos.extend(decode_positions(b["pos_payload"], self.decode(i)[1]))
         return docs, tfs, norms, pos
+
+    def decode_positions_all(self):
+        return self.decode_positions_blocks(list(range(len(self.blocks))))
 
     def decode_blocks(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if len(idxs) == 0:
@@ -242,6 +248,8 @@ class LocalSearcher:
             return ("const_or", terms)
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
+        if kind == "msm_or":
+            return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
         if kind in ("andnot", "reqopt"):
             return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
         if kind == "boost":
@@ -266,7 +274,7 @@ class LocalSearcher:
         if kind == "boost":
             return self._collect_terms(node[1])
         out = []
-        for c in node[1]:
+        for c in (node[2] if kind == "msm_or" else node[1]):
             out.extend(self._collect_terms(c))
         return out
 
@@ -276,53 +284,104 @@ class LocalSearcher:
         docs, _ = self._eval(node)
         return docs
 
-    def _eval_phrase(self, clauses) -> tuple[np.ndarray, np.ndarray]:
-        """ExactPhraseScorer semantics (search/ExactPhraseScorer.java):
-        freq = number of phrase start positions; idf = SUM of per-clause
-        idfs (BM25Similarity.idfExplain over the termStats array);
-        score = weight * freq / (freq + cache[norm])."""
-        datas = []
-        for term, rel in clauses:
-            tp = self._term_cache[term]
-            if not tp.blocks:
-                return np.empty(0, np.int64), np.empty(0, np.float32)
-            datas.append((tp.decode_positions_all(), rel))
-        # intersect candidate docs across clauses
-        cand = datas[0][0][0]
-        for (docs, _, _, _), _ in datas[1:]:
-            cand = np.intersect1d(cand, docs, assume_unique=False)
+    def _eval_phrase(self, clauses, slop: int = 0
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """PhraseScorer semantics:
+        - exact (slop=0): freq = number of phrase start positions
+          (search/ExactPhraseScorer.java), computed fully vectorized by
+          intersecting (candidate, adjusted-position) keys;
+        - sloppy: freq = sum of 1/(1+matchLength) over the reference's
+          greedy window enumeration (query/sloppy.py,
+          search/SloppyPhraseScorer.java:90-131).
+        idf = SUM of per-clause idfs (BM25Similarity.idfExplain over the
+        termStats array); score = weight * freq / (freq + cache[norm]).
+
+        Positions are decoded ONLY for blocks whose doc range intersects
+        the surviving candidate set: candidates come first from a
+        cost-ordered docs-only intersection (rarest clause leads,
+        ConjunctionDISI discipline), then each clause decodes just the
+        blocks covering those docs."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
+        tps = [self._term_cache[t] for t, _ in clauses]
+        if any(not tp.blocks for tp in tps):
+            return empty
+        # 1) candidate docs: docs-only intersection, cheapest df leads,
+        #    non-lead clauses decode only blocks overlapping candidates
+        order = np.argsort([tp.n_docs for tp in tps], kind="stable")
+        cand = tps[order[0]].decode_all()[0]
+        for oi in order[1:]:
+            if cand.size == 0:
+                return empty
+            tp = tps[oi]
+            fd, ld = tp.block_ranges()
+            lo = np.searchsorted(cand, fd, side="left")
+            hi = np.searchsorted(cand, ld, side="right")
+            docs = tp.decode_blocks(np.flatnonzero(hi > lo))[0]
+            cand = cand[_sorted_isin(cand, docs)]
         if cand.size == 0:
-            return cand, np.empty(0, np.float32)
-        # per-candidate positional intersection
-        idx_per = [
-            (np.searchsorted(docs, cand), pos, rel, norms)
-            for (docs, _, norms, pos), rel in datas
-        ]
-        freqs = np.zeros(cand.size, dtype=np.int64)
-        for ci in range(cand.size):
-            base = idx_per[0][1][idx_per[0][0][ci]] - idx_per[0][2]
-            for loc, pos, rel, _ in idx_per[1:]:
-                base = np.intersect1d(base, pos[loc[ci]] - rel,
-                                      assume_unique=True)
-                if base.size == 0:
+            return empty
+        # 2) positions for candidates only (per-clause block pruning)
+        datas = []  # (poslists aligned to cand, rel)
+        norms0 = None
+        for (term, rel), tp in zip(clauses, tps):
+            fd, ld = tp.block_ranges()
+            lo = np.searchsorted(cand, fd, side="left")
+            hi = np.searchsorted(cand, ld, side="right")
+            docs, _, norms, pos = tp.decode_positions_blocks(
+                np.flatnonzero(hi > lo)
+            )
+            sel = np.flatnonzero(_sorted_isin(docs, cand))
+            datas.append(([pos[j] for j in sel], rel))
+            if norms0 is None:
+                norms0 = norms[sel]
+        # 3) phrase freq per candidate
+        if slop == 0:
+            # vectorized: key = candidate_index * 2^32 + start position;
+            # the phrase matches where all clauses share a start key
+            keys: np.ndarray | None = None
+            for poslists, rel in datas:
+                counts = [p.size for p in poslists]
+                flat = (
+                    np.concatenate(poslists) if poslists
+                    else np.empty(0, np.int64)
+                ) - rel
+                ci = np.repeat(np.arange(cand.size, dtype=np.int64), counts)
+                ok = flat >= 0
+                k = ci[ok] * (np.int64(1) << 32) + flat[ok]
+                keys = k if keys is None else np.intersect1d(
+                    keys, k, assume_unique=True
+                )
+                if keys.size == 0:
                     break
-            freqs[ci] = base.size
+            freqs = (
+                np.bincount((keys >> 32).astype(np.int64),
+                            minlength=cand.size).astype(np.float32)
+                if keys is not None and keys.size
+                else np.zeros(cand.size, dtype=np.float32)
+            )
+        else:
+            from .sloppy import sloppy_freq
+
+            rels = [rel for _, rel in datas]
+            freqs = np.zeros(cand.size, dtype=np.float32)
+            for ci in range(cand.size):
+                freqs[ci] = sloppy_freq(
+                    [pl[ci] - rel for (pl, rel) in datas], rels, slop
+                )
         mask = freqs > 0
-        cand, freqs = cand[mask], freqs[mask]
+        cand, freqs, norms0 = cand[mask], freqs[mask], norms0[mask]
         if cand.size == 0:
-            return cand, np.empty(0, np.float32)
+            return empty
         # idf sum over clauses (duplicates included, like termStats[])
         idf_sum = np.float32(0.0)
-        for (docs, _, _, _), _ in datas:
-            df = docs.size
+        for tp in tps:
+            df = tp.n_docs
             idf_sum = np.float32(
                 idf_sum
                 + np.float32(np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5)))
             )
         wv = np.float32(idf_sum * (self.k1 + np.float32(1.0)))
-        norms0 = datas[0][0][2][np.searchsorted(datas[0][0][0], cand)]
-        freq = freqs.astype(np.float32)
-        scores = (wv * freq / (freq + self.cache[norms0])).astype(np.float32)
+        scores = (wv * freqs / (freqs + self.cache[norms0])).astype(np.float32)
         return cand, scores
 
     def _eval(self, node) -> tuple[np.ndarray, np.ndarray]:
@@ -356,7 +415,29 @@ class LocalSearcher:
             docs, scores = self._eval(node[1])
             return docs, (scores * np.float32(node[2])).astype(np.float32)
         if kind == "phrase":
-            return self._eval_phrase(node[1])
+            return self._eval_phrase(node[1], node[2] if len(node) > 2 else 0)
+        if kind == "msm_or":
+            # MinShouldMatchSumScorer: doc matches when >= n SHOULD
+            # clauses match; score = double sum of matching clause scores
+            # (search/MinShouldMatchSumScorer.java, BooleanQuery.java:77-96)
+            n = node[1]
+            parts = [self._eval(c) for c in node[2]]
+            all_docs = (
+                np.concatenate([p[0] for p in parts]) if parts
+                else np.empty(0, np.int64)
+            )
+            if all_docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs = np.unique(all_docs)
+            total = np.zeros(docs.size, dtype=np.float64)
+            cnt = np.zeros(docs.size, dtype=np.int64)
+            for cd, cs in parts:
+                if cd.size:
+                    idx = np.searchsorted(docs, cd)
+                    np.add.at(total, idx, cs.astype(np.float64))
+                    np.add.at(cnt, idx, 1)
+            keep = cnt >= n
+            return docs[keep], total[keep].astype(np.float32)
         if kind == "andnot":
             docs, scores = self._eval(node[1])
             if docs.size == 0:
@@ -449,7 +530,42 @@ class LocalSearcher:
         )
         return wv * mt / (mt + c) * (1.0 + 1e-6)
 
-    def _search_or_pruned(self, terms: list[str], k: int
+    def _masked_kth(self, docs_list, scores_list, k, after) -> float:
+        """theta = k-th best CURSOR-PASSING score so far.  With a
+        searchAfter cursor only docs strictly after it compete for the
+        page, so the pruning threshold must ignore pre-cursor docs
+        (TopScoreDocCollector paging discipline,
+        search/IndexSearcher.java:411-446)."""
+        scs = np.concatenate(scores_list)
+        if after is not None:
+            docs = np.concatenate(docs_list)
+            scs = scs[_cursor_mask(docs, scs, after)]
+        return _kth_best(scs, k)
+
+    def _search_term_pruned(self, term: str, k: int, after=None
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned single-term top-k: decode blocks in
+        descending upper-bound order and stop as soon as the next bound
+        cannot beat theta — a hot term's tail blocks never decode
+        (the single-scorer analogue of BlockMaxWAND; cf. Lucene 8's
+        block-max TopScoreDocCollector early exit)."""
+        tp = self._term_cache[term]
+        wv = self._weight_value(tp.n_docs)
+        ubs = self._block_ubs(tp, float(wv))
+        order = np.argsort(-ubs, kind="stable")
+        kept_d: list[np.ndarray] = []
+        kept_s: list[np.ndarray] = []
+        theta = -np.inf
+        for bi in order:
+            if ubs[bi] < theta:
+                break  # bounds are descending: nothing below competes
+            docs, tfs, norms = tp.decode(int(bi))
+            kept_d.append(docs)
+            kept_s.append(self._score_arrays(tfs, norms, wv))
+            theta = self._masked_kth(kept_d, kept_s, k, after)
+        return np.concatenate(kept_d), np.concatenate(kept_s)
+
+    def _search_or_pruned(self, terms: list[str], k: int, after=None
                           ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned evaluation of a flat OR of terms."""
         tps = [self._term_cache[t] for t in terms]
@@ -468,9 +584,9 @@ class LocalSearcher:
         seed = int(np.argmax(gmax))
         cand, _ = self._term_full(terms[seed])
         scores = self._complete_scores(terms, np.unique(cand))
-        theta = _kth_best(scores[1], k)
         kept_docs = [scores[0]]
         kept_scores = [scores[1]]
+        theta = self._masked_kth(kept_docs, kept_scores, k, after)
         for i, (t, tp) in enumerate(zip(terms, tps)):
             if i == seed:
                 continue
@@ -483,7 +599,7 @@ class LocalSearcher:
                 fd, fscores = self._complete_scores(terms, fresh)
                 kept_docs.append(fd)
                 kept_scores.append(fscores)
-                theta = _kth_best(np.concatenate(kept_scores), k)
+                theta = self._masked_kth(kept_docs, kept_scores, k, after)
         docs = np.concatenate(kept_docs)
         scs = np.concatenate(kept_scores)
         docs, ix = np.unique(docs, return_index=True)
@@ -508,19 +624,17 @@ class LocalSearcher:
         search/IndexSearcher.java:411-446): the next page strictly after
         cursor `after` = (doc_id, score) in (score desc, docID asc)
         order — keep docs with score < after.score, or equal score and
-        docID > after.doc."""
-        a_doc, a_score = int(after[0]), np.float32(after[1])
-        hits = self.search(query, k=None)
-        out = [
-            (d, s) for d, s in hits
-            if np.float32(s) < a_score
-            or (np.float32(s) == a_score and d > a_doc)
-        ]
-        return out[:k]
+        docID > after.doc.  The cursor threads into collection (pruning
+        theta and top-k selection), so a page fetch decodes only
+        competitive blocks instead of materializing the full ranking."""
+        return self.search(query, k=k, after=after)
 
-    def search(self, query, k: int | None = 10) -> list[tuple[int, float]]:
+    def search(self, query, k: int | None = 10, after=None
+               ) -> list[tuple[int, float]]:
         """Top-k hits as (doc_id, float32 score); k=None returns ALL
-        matches in (score desc, docID asc) order (the searchAfter base)."""
+        matches in (score desc, docID asc) order (the searchAfter base).
+        `after` = (doc_id, score) cursor restricts hits to those strictly
+        after it in rank order."""
         node = parse_query(query) if isinstance(query, str) else query
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
@@ -528,24 +642,34 @@ class LocalSearcher:
         terms = self._collect_terms(node)
         self._load_terms(terms)
         self._eval_memo: dict = {}
-        if (
-            self.pruning
-            and k is not None
-            and node[0] == "or"
-            and all(c[0] == "term" for c in node[1])
-            and len(set(t for _, t in node[1])) == len(node[1])
-            and self._mostly_undecoded([t for _, t in node[1]])
-        ):
+        pruned_terms = None
+        if self.pruning and k is not None:
+            if node[0] == "term":
+                pruned_terms = [node[1]]
+            elif (
+                node[0] == "or"
+                and all(c[0] == "term" for c in node[1])
+                and len(set(t for _, t in node[1])) == len(node[1])
+            ):
+                pruned_terms = [t for _, t in node[1]]
+        if pruned_terms and self._mostly_undecoded(pruned_terms):
             # cold lists: block-max pruning avoids decoding
             # never-competitive blocks.  Warm lists (decode cache full)
             # score faster through the vectorized flat-OR path — the
             # cost-based strategy choice Lucene makes in
             # BooleanWeight.bulkScorer (windowed BooleanScorer vs
             # per-doc scorers).
-            docs, scores = self._search_or_pruned([t for _, t in node[1]], k)
+            if len(pruned_terms) == 1:
+                docs, scores = self._search_term_pruned(
+                    pruned_terms[0], k, after=after
+                )
+            else:
+                docs, scores = self._search_or_pruned(
+                    pruned_terms, k, after=after
+                )
         else:
             docs, scores = self._eval(node)
-        return _topk_hits(docs, scores, k)
+        return _topk_hits(docs, scores, k, after=after)
 
 
 def _kth_best(scores: np.ndarray, k: int) -> float:
@@ -565,12 +689,24 @@ def _sorted_isin(values: np.ndarray, sorted_unique: np.ndarray) -> np.ndarray:
     return sorted_unique[idx] == values
 
 
+def _cursor_mask(docs: np.ndarray, scores: np.ndarray,
+                 after: tuple[int, float]) -> np.ndarray:
+    """Docs strictly after the (doc_id, score) cursor in (score desc,
+    docID asc) order."""
+    a_doc, a_score = int(after[0]), np.float32(after[1])
+    return (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+
+
 def _topk_hits(docs: np.ndarray, scores: np.ndarray,
-               k: int | None) -> list[tuple[int, float]]:
+               k: int | None, after=None) -> list[tuple[int, float]]:
     """(score desc, docID asc) top-k without a full sort: partition on
     the k-th score, lexsort only the surviving candidates (incl. ties at
     the threshold so the docID tie-break is exact —
-    HitQueue.java:76-81)."""
+    HitQueue.java:76-81).  `after` filters to docs strictly after the
+    cursor before selection (searchAfter)."""
+    if after is not None and docs.size:
+        keep = _cursor_mask(docs, scores, after)
+        docs, scores = docs[keep], scores[keep]
     if docs.size == 0:
         return []
     if k is not None and 0 < k < docs.size:

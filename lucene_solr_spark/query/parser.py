@@ -3,10 +3,11 @@
 Grammar subset of lucene/queryparser/.../classic/QueryParser.jj:196-226:
 
     terms, AND/&&, OR/||, NOT/!/-, +, parentheses,
-    "exact phrase" (slop ~n parsed but rejected: SloppyPhraseScorer's
-    repeat-handling semantics are not reimplemented in v1),
+    "exact phrase", "sloppy phrase"~n (repeat-free; repeated-term sloppy
+    phrases take the reference's hasRpts path and are rejected),
     wild*card / wild?card, prefix*, fuzzy~[n], /regexp/,
-    [lo TO hi] / {lo TO hi} term ranges, clause^boost.
+    [lo TO hi] / {lo TO hi} term ranges, clause^boost,
+    (a b c)@n minimumNumberShouldMatch groups.
 
 Query atoms run through the same analyzer as indexing, so stopwords
 vanish (an all-stopword query is empty -> matches nothing) and atoms
@@ -25,8 +26,10 @@ Output: the oracle/engine query tree
   | ("andnot", pos_node, neg_node)        # MUST_NOT / ReqExclScorer
   | ("reqopt", req_node, opt_node)        # '+' in an OR context / ReqOptSumScorer
   | ("boost", node, factor)               # BoostQuery
+  | ("msm_or", n, [nodes])                # OR with minShouldMatch=n
   | ("phrase", [(term, rel_pos), ...])    # PhraseQuery (exact), analyzer
                                           #   position gaps preserved
+  | ("phrase", [(term, rel_pos), ...], slop)  # sloppy phrase (~n)
   | ("prefix", p) | ("wildcard", pat) | ("fuzzy", term, max_edits)
   | ("regexp", pat) | ("range", lo, hi, incl_lo, incl_hi)
   | ("matchnone",)                        # pure-negative query
@@ -149,7 +152,7 @@ class _Parser:
             node = self.parse_or()
             if self.next() != ")":
                 raise QueryParseError("expected ')'")
-            return self._maybe_boost(node)
+            return self._maybe_boost(self._maybe_msm(node))
         if t == ")":
             raise QueryParseError("unexpected ')'")
         self.next()
@@ -161,6 +164,29 @@ class _Parser:
             self.next()
             return ("boost", node, float(t[1:]))
         return node
+
+    def _maybe_msm(self, node):
+        """`(a b c)@n` — minimumNumberShouldMatch=n on a SHOULD group
+        (BooleanQuery.setMinimumNumberShouldMatch,
+        search/BooleanQuery.java:77-96; the reference exposes this via
+        the API / Solr's mm param, the @n suffix is this parser's
+        surface for it).  Rewrite rules per BooleanWeight:
+        n <= 1 -> plain OR; n > #clauses -> MatchNoDocs."""
+        t = self.peek()
+        if node is None or not t or not re.fullmatch(r"@\d+", t):
+            return node
+        self.next()
+        n = int(t[1:])
+        if node[0] != "or" or not isinstance(node[1], list):
+            raise QueryParseError(
+                "@n (minimumNumberShouldMatch) requires a parenthesized "
+                "group of SHOULD clauses"
+            )
+        if n <= 1:
+            return node
+        if n > len(node[1]):
+            return ("matchnone",)
+        return ("msm_or", n, node[1])
 
     def _atom_node(self, t: str):
         boost = None
@@ -174,23 +200,28 @@ class _Parser:
         return node
 
     def _bare_atom(self, t: str):
-        # quoted phrase
+        # quoted phrase; "~n" = sloppy phrase (SloppyPhraseScorer)
         if t.startswith('"'):
             m = re.match(r'^"([^"]*)"(?:~(\d+))?$', t)
             if not m:
                 raise QueryParseError(f"bad phrase {t!r}")
             body, slop = m.group(1), m.group(2)
-            if slop and int(slop) > 0:
-                raise QueryParseError(
-                    "sloppy phrase (~n) not supported; exact phrases only"
-                )
+            slop = int(slop) if slop else 0
             terms, poss = analyze_detailed(body)
             if not terms:
                 return None
             if len(terms) == 1:
                 return ("term", terms[0])  # 1-term phrase -> TermQuery
+            if slop > 0 and len(set(terms)) < len(terms):
+                raise QueryParseError(
+                    "sloppy phrase with repeated terms not supported "
+                    "(reference hasRpts path, SloppyPhraseScorer.java)"
+                )
             base = poss[0]
-            return ("phrase", [(tm, p - base) for tm, p in zip(terms, poss)])
+            clauses = [(tm, p - base) for tm, p in zip(terms, poss)]
+            if slop > 0:
+                return ("phrase", clauses, slop)
+            return ("phrase", clauses)
         # regexp
         if t.startswith("/") and t.endswith("/") and len(t) >= 2:
             return ("regexp", t[1:-1].lower())
