@@ -77,16 +77,33 @@ def _norm_byte_case_sql() -> str:
 # --------------------------------------------------------------- engine
 
 
+#: deterministic stored-field derivations for the documents corpus —
+#: both the Spark transcripts view and the DuckDB oracle compute these
+#: same pure functions of doc_id, so the multi-field index is checkable
+_ROLE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'system' END"
+)
+_TOOL_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'bash' "
+    "WHEN 2 THEN 'search' WHEN 3 THEN 'editor' ELSE 'browser' END"
+)
+_TS_SQL = "TIMESTAMP '2026-01-01 00:00:00' + (doc_id * INTERVAL 1 MINUTE)"
+_TS_SPARK = (
+    "timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, doc_id, 0)"
+)
+
+
 def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select(
             F.format_string("doc%012d", F.col("doc_id")).alias("conv_id"),
             F.lit(0).alias("turn_idx"),
-            F.lit("doc").alias("role"),
+            F.expr(_ROLE_SQL).alias("role"),
             F.col("text"),
-            F.lit("none").alias("tool"),
-            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+            F.expr(_TOOL_SQL).alias("tool"),
+            F.expr(_TS_SPARK).alias("ts"),
         )
     )
 
@@ -94,15 +111,16 @@ def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or resume) the gate index for a testdata dir; idempotent.
     Rebuilds from scratch if a stale index was built with different
-    params (e.g. without positions)."""
+    params or an older on-disk schema (no field dimension)."""
     import shutil
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     idx = os.path.join(_GATE_ROOT, tag)
     from lucene_solr_spark.index import store
 
-    if store.stage_committed(idx, "lineage") and not store.get_params(idx).get(
-        "positions"
+    params = store.get_params(idx) if store.stage_committed(idx, "lineage") else None
+    if params is not None and (
+        not params.get("positions") or params.get("schema_version") != 2
     ):
         shutil.rmtree(idx, ignore_errors=True)
     if not store.stage_committed(idx, "lineage"):
@@ -132,7 +150,11 @@ def _decoded_postings(spark: SparkSession, idx: str, terms: list[str],
         cols.append("pos_payload")
     post = (
         spark.read.parquet(os.path.join(idx, "postings"))
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(sorted(terms)))
+        .filter(
+            F.col("bucket").isin(buckets)
+            & (F.col("field") == "text")
+            & F.col("term").isin(sorted(terms))
+        )
         .select(*cols)
     )
 
@@ -214,8 +236,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def term_stats(spark, sf):
         idx = _ensure_index(spark, sf)
-        return spark.read.parquet(os.path.join(idx, "term_stats")).select(
-            "term", "doc_freq", "total_term_freq"
+        return (
+            spark.read.parquet(os.path.join(idx, "term_stats"))
+            .filter(F.col("field") == "text")
+            .select("term", "doc_freq", "total_term_freq")
         )
 
     def field_stats(spark, sf):
@@ -271,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ensure_index(spark, sf)
         return (
             spark.read.parquet(os.path.join(idx, "term_stats"))
+            .filter(F.col("field") == "text")
             .orderBy(F.desc("doc_freq"), F.asc("term"))
             .limit(20)
             .select("term", "doc_freq")
@@ -281,9 +306,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ensure_index(spark, sf)
         return (
             spark.read.parquet(os.path.join(idx, "term_stats"))
-            .filter(F.col("term").startswith("s"))
+            .filter((F.col("field") == "text") & F.col("term").startswith("s"))
             .select("term", "doc_freq")
         )
+
+    # ------------------------------------------------- multi-field index
+    def field_term_stats(spark, sf):
+        # keyword-field term dictionary (role StringField): per-value df
+        idx = _ensure_index(spark, sf)
+        return (
+            spark.read.parquet(os.path.join(idx, "term_stats"))
+            .filter(F.col("field") == "role")
+            .select("term", "doc_freq")
+        )
+
+    def field_stats_per_field(spark, sf):
+        # per-field collection statistics (FieldInfos / per-field
+        # collectionStatistics)
+        idx = _ensure_index(spark, sf)
+        from lucene_solr_spark.index.builder import read_all_field_stats
+
+        rows = [
+            (f, v["doc_count"], v["sum_total_term_freq"])
+            for f, v in sorted(read_all_field_stats(idx).items())
+        ]
+        return spark.createDataFrame(
+            rows, "field string, doc_count long, sum_total_term_freq long"
+        )
+
+    def field_filter_bm25(spark, sf):
+        # the #1 real transcript query: text BM25 AND role filter AND ts
+        # range — FILTER clauses match without scoring, so the ranking is
+        # the pure text BM25 restricted to the filtered docs
+        return _topk_engine(
+            spark, sf,
+            "batch #role:user "
+            "#ts:[2026-01-01T00:30:00 TO 2026-01-01T05:00:00]",
+        )
+
+    def ts_range_count(spark, sf):
+        # point-field range resolution through the engine's docmap scan
+        eng = _engine64(spark, sf)
+        return eng.matching_docs_df(
+            "ts:{2026-01-01T01:00:00 TO 2026-01-01T03:00:00]"
+        ).agg(F.count("*").alias("n_docs"))
 
     def term_in_set_count(spark, sf):
         idx = _ensure_index(spark, sf)
@@ -579,6 +645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy": phrase_sloppy,
         "facet_top_terms": facet_top_terms,
         "prefix_expand": prefix_expand,
+        "field_term_stats": field_term_stats,
+        "field_stats_per_field": field_stats_per_field,
+        "field_filter_bm25": field_filter_bm25,
+        "ts_range_count": ts_range_count,
         "term_in_set_count": term_in_set_count,
         "and_membership": and_membership,
         "dedup_exact": dedup_exact,
@@ -878,6 +948,37 @@ SELECT term, doc_freq FROM ts ORDER BY doc_freq DESC, term LIMIT 20
         "prefix_expand": f"""
 WITH {_TOK_CTE}
 SELECT term, doc_freq FROM ts WHERE term LIKE 's%'
+""",
+        "field_term_stats": f"""
+SELECT ({_ROLE_SQL}) AS term, COUNT(*)::BIGINT AS doc_freq
+FROM documents GROUP BY 1
+""",
+        "field_stats_per_field": f"""
+WITH {_TOK_CTE}
+SELECT 'role' AS field, COUNT(*)::BIGINT AS doc_count,
+       COUNT(*)::BIGINT AS sum_total_term_freq FROM documents
+UNION ALL
+SELECT 'text', fs.doc_count, fs.sttf FROM fs
+UNION ALL
+SELECT 'tool', COUNT(*)::BIGINT, COUNT(*)::BIGINT FROM documents
+""",
+        "field_filter_bm25": f"""
+WITH {_TOK_CTE},
+sc AS (
+  SELECT tf.doc_id AS doc_id, {_BM25_SQL_SCORE} AS raw
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+)
+SELECT doc_id, ROUND(raw, 4) AS score FROM sc
+WHERE ({_ROLE_SQL}) = 'user'
+  AND ({_TS_SQL}) >= TIMESTAMP '2026-01-01 00:30:00'
+  AND ({_TS_SQL}) <= TIMESTAMP '2026-01-01 05:00:00'
+ORDER BY raw DESC, doc_id LIMIT 10
+""",
+        "ts_range_count": f"""
+SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+WHERE ({_TS_SQL}) > TIMESTAMP '2026-01-01 01:00:00'
+  AND ({_TS_SQL}) <= TIMESTAMP '2026-01-01 03:00:00'
 """,
         "term_in_set_count": f"""
 WITH {_TOK_CTE}

@@ -69,8 +69,18 @@ from . import store
 
 DOCMAP_STAGE_SCHEMA = (
     "pid int, local_idx long, conv_id string, turn_idx int, dl int, "
-    "norm_byte int, text_sha string, text string"
+    "norm_byte int, text_sha string, text string, role string, tool string, "
+    "ts timestamp"
 )
+
+#: fields of the input schema indexed as exact-match keyword fields
+#: (StringField: not analyzed, IndexOptions.DOCS, omitNorms —
+#: document/StringField.java:35-45); `ts` is the point field (BKD-tree
+#: analogue = parquet min/max pushdown on the docmap `ts` column);
+#: `text` is the analyzed TextField.  The per-field term dictionaries
+#: and statistics live in the same postings/term_stats tables under a
+#: `field` column (index/FieldInfos.java — per-field inverted data).
+KEYWORD_FIELDS = ("role", "tool")
 
 #: map-side partial posting chunks (the DWPT in-RAM segment flushed per
 #: input partition, index/DocumentsWriterPerThread.java:409): the shuffle
@@ -79,15 +89,15 @@ DOCMAP_STAGE_SCHEMA = (
 #: disk-bound (and measurably is at 3M turns on this sandbox's 300MB/s
 #: disk)
 CHUNK_SCHEMA = (
-    "term string, salt int, kind int, first_doc long, last_doc long, "
-    "doc_count int, sum_tf long, max_tf int, payload binary, norms binary, "
-    "pos binary"
+    "field string, term string, salt int, kind int, first_doc long, "
+    "last_doc long, doc_count int, sum_tf long, max_tf int, payload binary, "
+    "norms binary, pos binary"
 )
 
 POSTINGS_SCHEMA = (
-    "term string, salt int, block_id int, kind int, first_doc long, "
-    "last_doc long, doc_count int, sum_tf long, payload binary, "
-    "norms_payload binary, pos_payload binary, max_tf int, "
+    "field string, term string, salt int, block_id int, kind int, "
+    "first_doc long, last_doc long, doc_count int, sum_tf long, "
+    "payload binary, norms_payload binary, pos_payload binary, max_tf int, "
     "min_ntab float, bucket int"
 )
 
@@ -140,7 +150,7 @@ def _docmap_factory(sidecar_dir: str, top_terms: int = 4096):
 
         pid = TaskContext.get().partitionId()
         offset = 0
-        term_df: Counter = Counter()
+        term_df: Counter = Counter()  # keyed (field, term)
         for pdf in batches:
             n = len(pdf)
             texts = pdf["text"].tolist()
@@ -148,7 +158,11 @@ def _docmap_factory(sidecar_dir: str, top_terms: int = 4096):
             for i, t in enumerate(texts):
                 toks = analyze(t or "")
                 dls[i] = len(toks)
-                term_df.update(set(toks))
+                term_df.update(("text", tok) for tok in set(toks))
+            for kf in KEYWORD_FIELDS:
+                term_df.update(
+                    (kf, v) for v in pdf[kf].tolist() if v is not None
+                )
             out = pd.DataFrame(
                 {
                     "pid": np.int32(pid),
@@ -162,6 +176,9 @@ def _docmap_factory(sidecar_dir: str, top_terms: int = 4096):
                         for t in texts
                     ],
                     "text": texts,
+                    "role": pdf["role"].values,
+                    "tool": pdf["tool"].values,
+                    "ts": pdf["ts"].values,
                 }
             )
             offset += n
@@ -176,7 +193,8 @@ def _docmap_factory(sidecar_dir: str, top_terms: int = 4096):
         pq.write_table(
             pa.table(
                 {
-                    "term": pa.array([t for t, _ in top], pa.string()),
+                    "field": pa.array([f for (f, _), _ in top], pa.string()),
+                    "term": pa.array([t for (_, t), _ in top], pa.string()),
                     "cnt": pa.array([c for _, c in top], pa.int64()),
                 }
             ),
@@ -195,6 +213,13 @@ def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
     import shutil as _shutil
 
     _shutil.rmtree(_hotstats_dir(index_dir, seg), ignore_errors=True)
+    # tolerate minimal inputs (conv_id, turn_idx, text): absent stored
+    # fields index as null (a doc without the field, like Lucene docs
+    # missing a StringField)
+    for col, typ in (("role", "string"), ("tool", "string"),
+                     ("ts", "timestamp")):
+        if col not in transcripts.columns:
+            transcripts = transcripts.withColumn(col, F.lit(None).cast(typ))
     parts = cfg.partitions or spark.sparkContext.defaultParallelism
     sorted_df = transcripts.repartitionByRange(
         parts, F.col("conv_id"), F.col("turn_idx")
@@ -211,6 +236,10 @@ def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
                 F.count("*").alias("cnt"),
                 F.sum((F.col("dl") > 0).cast("long")).alias("nonempty"),
                 F.sum("dl").alias("sum_dl"),
+                *[
+                    F.sum(F.col(kf).isNotNull().cast("long")).alias(f"n_{kf}")
+                    for kf in KEYWORD_FIELDS
+                ],
             )
             .collect()
         )
@@ -230,33 +259,44 @@ def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
                 "doc_id"
             ),
             "conv_id", "turn_idx", "text_sha", "norm_byte", "dl", "text",
+            "role", "tool", "ts",
         )
         docs.write.mode("overwrite").parquet(
             os.path.join(index_dir, "docmap", f"seg={seg}")
         )
     finally:
         lite.unpersist()
-    # per-segment field_stats: single row, written driver-side (no Spark
+    # per-(segment, field) stats rows, written driver-side (no Spark
     # job); global stats are the SUM over segments, aggregated at read
-    # time exactly like IndexSearcher.collectionStatistics walks leaves
+    # time exactly like IndexSearcher.collectionStatistics walks leaves.
+    # Keyword fields hold exactly one token per valued doc, so their
+    # sum_total_term_freq equals their doc_count.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    doc_count = int(sum(r["nonempty"] for r in agg_rows))
-    sttf = int(sum(r["sum_dl"] for r in agg_rows))
+    max_doc = int(doc_base + acc)
+    fields = ["text"]
+    doc_counts = [int(sum(r["nonempty"] for r in agg_rows))]
+    sttfs = [int(sum(r["sum_dl"] for r in agg_rows))]
+    for kf in KEYWORD_FIELDS:
+        n_kf = int(sum(r[f"n_{kf}"] for r in agg_rows))
+        fields.append(kf)
+        doc_counts.append(n_kf)
+        sttfs.append(n_kf)
     fs_dir = os.path.join(index_dir, "field_stats", f"seg={seg}")
     os.makedirs(fs_dir, exist_ok=True)
     pq.write_table(
         pa.table(
             {
-                "doc_count": pa.array([doc_count], pa.int64()),
-                "sum_total_term_freq": pa.array([sttf], pa.int64()),
-                "max_doc": pa.array([int(doc_base + acc)], pa.int64()),
+                "field": pa.array(fields, pa.string()),
+                "doc_count": pa.array(doc_counts, pa.int64()),
+                "sum_total_term_freq": pa.array(sttfs, pa.int64()),
+                "max_doc": pa.array([max_doc] * len(fields), pa.int64()),
             }
         ),
         os.path.join(fs_dir, "part-0.parquet"),
     )
-    store.commit_stage(index_dir, "docmap", {"max_doc": int(doc_base + acc)})
+    store.commit_stage(index_dir, "docmap", {"max_doc": max_doc})
     store.commit_stage(index_dir, "field_stats")
 
 
@@ -264,20 +304,33 @@ def _hotstats_dir(index_dir: str, seg: int) -> str:
     return os.path.join(index_dir, "_hotstats", f"seg={seg}")
 
 
-def read_field_stats(index_dir: str) -> dict:
-    """Global field stats = sum over per-segment rows (the
+def read_field_stats(index_dir: str, field: str = "text") -> dict:
+    """Global stats of one field = sum over per-segment rows (the
     collectionStatistics leaf walk, search/IndexSearcher.java:787-810)."""
+    return read_all_field_stats(index_dir).get(
+        field, {"doc_count": 0, "sum_total_term_freq": 0, "max_doc": 0}
+    )
+
+
+def read_all_field_stats(index_dir: str) -> dict[str, dict]:
+    """{field: {doc_count, sum_total_term_freq, max_doc}} across segments.
+    max_doc is field-independent (the docID space is shared)."""
     import pyarrow.dataset as pads
 
     rows = pads.dataset(
         os.path.join(index_dir, "field_stats"), format="parquet",
         partitioning="hive",
     ).to_table().to_pylist()
-    return {
-        "doc_count": sum(r["doc_count"] for r in rows),
-        "sum_total_term_freq": sum(r["sum_total_term_freq"] for r in rows),
-        "max_doc": max((r["max_doc"] for r in rows), default=0),
-    }
+    max_doc = max((r["max_doc"] for r in rows), default=0)
+    out: dict[str, dict] = {}
+    for r in rows:
+        f = r.get("field", "text")
+        ent = out.setdefault(
+            f, {"doc_count": 0, "sum_total_term_freq": 0, "max_doc": max_doc}
+        )
+        ent["doc_count"] += r["doc_count"]
+        ent["sum_total_term_freq"] += r["sum_total_term_freq"]
+    return out
 
 
 # --------------------------------------------------------------- stage 2
@@ -296,16 +349,17 @@ def _hot_terms_from_sidecar(sidecar_dir: str, cfg: BuildConfig) -> dict[str, int
     files = _glob.glob(os.path.join(sidecar_dir, "pid-*.parquet"))
     if not files:
         return {}
-    totals: dict[str, int] = {}
+    totals: dict[tuple[str, str], int] = {}
     for f in files:
         t = pq.read_table(f)
-        for term, cnt in zip(
-            t.column("term").to_pylist(), t.column("cnt").to_pylist()
+        for field, term, cnt in zip(
+            t.column("field").to_pylist(), t.column("term").to_pylist(),
+            t.column("cnt").to_pylist(),
         ):
-            totals[term] = totals.get(term, 0) + int(cnt)
+            totals[(field, term)] = totals.get((field, term), 0) + int(cnt)
     return {
-        term: int(np.ceil(cnt / cfg.salt_target))
-        for term, cnt in totals.items()
+        key: int(np.ceil(cnt / cfg.salt_target))
+        for key, cnt in totals.items()
         if cnt > cfg.salt_df_threshold
     }
 
@@ -322,12 +376,29 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
     from .codec import encode_positions
 
     def invert(batches):
-        # term -> [docs list, tfs list, norms list, poslists list]
-        acc: dict[str, list] = {}
+        # (field, term) -> [docs list, tfs list, norms list, poslists list]
+        acc: dict[tuple[str, str], list] = {}
         for pdf in batches:
             doc_ids = pdf["doc_id"].values
             norm_bytes = pdf["norm_byte"].values
+            kw_cols = {kf: pdf[kf].tolist() for kf in KEYWORD_FIELDS}
             for i, text in enumerate(pdf["text"].tolist()):
+                d = int(doc_ids[i])
+                # keyword fields: one un-analyzed token, tf=1, omitNorms
+                # (StringField discipline) — norm byte stored 0, ignored
+                # by the scorer
+                for kf, vals in kw_cols.items():
+                    v = vals[i]
+                    if v is None:
+                        continue
+                    ent = acc.get((kf, v))
+                    if ent is None:
+                        acc[(kf, v)] = ent = [[], [], [], []]
+                    ent[0].append(d)
+                    ent[1].append(1)
+                    ent[2].append(0)
+                    if positions:
+                        ent[3].append(np.zeros(1, dtype=np.int64))
                 if positions:
                     toks, poss = analyze_detailed(text or "")
                     if not toks:
@@ -342,20 +413,19 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
                     uniq = {}
                     for t in toks:
                         uniq[t] = uniq.get(t, 0) + 1
-                d = int(doc_ids[i])
                 nb = int(norm_bytes[i])
                 for t, v in uniq.items():
                     tf = len(v) if positions else v
-                    ent = acc.get(t)
+                    ent = acc.get(("text", t))
                     if ent is None:
-                        acc[t] = ent = [[], [], [], []]
+                        acc[("text", t)] = ent = [[], [], [], []]
                     ent[0].append(d)
                     ent[1].append(tf)
                     ent[2].append(nb)
                     if positions:
                         ent[3].append(np.asarray(v, dtype=np.int64))
         rows = []
-        for term, (dl, tl, nl, pl) in acc.items():
+        for (field, term), (dl, tl, nl, pl) in acc.items():
             docs = np.asarray(dl, dtype=np.int64)
             tfs = np.asarray(tl, dtype=np.int64)
             norms = np.asarray(nl, dtype=np.uint8)
@@ -363,7 +433,7 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
             docs, tfs, norms = docs[order], tfs[order], norms[order]
             if positions:
                 pl = [pl[j] for j in order]
-            n_salt = hot_salts.get(term, 1) if hot_salts else 1
+            n_salt = hot_salts.get((field, term), 1) if hot_salts else 1
             if n_salt > 1:
                 salts = (docs * n_salt // max(max_doc, 1)).astype(np.int32)
                 bounds = (np.flatnonzero(np.diff(salts)) + 1).tolist()
@@ -386,7 +456,7 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
                     )
                     rows.append(
                         (
-                            term, salt, blk["kind"], blk["first_doc"],
+                            field, term, salt, blk["kind"], blk["first_doc"],
                             blk["last_doc"], blk["doc_count"],
                             int(pd_tfs[off:e].sum()), blk["max_tf"],
                             blk["payload"], pd_norms[off:e].tobytes(),
@@ -398,7 +468,7 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "term", "salt", "kind", "first_doc", "last_doc",
+                    "field", "term", "salt", "kind", "first_doc", "last_doc",
                     "doc_count", "sum_tf", "max_tf", "payload", "norms",
                     "pos",
                 ],
@@ -425,8 +495,12 @@ def _merge_group_factory(n_buckets: int, positions: bool = False):
     from .codec import decode_block, decode_positions, encode_positions
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        field = pdf["field"].iloc[0]
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
+        # positions travel only with analyzed text postings (keyword
+        # fields are IndexOptions.DOCS: no positions, StringField)
+        has_pos = positions and field == "text"
         d_parts, t_parts, n_parts, p_parts = [], [], [], []
         for r in pdf.itertuples(index=False):
             d, t = decode_block(
@@ -436,14 +510,14 @@ def _merge_group_factory(n_buckets: int, positions: bool = False):
             d_parts.append(d)
             t_parts.append(t)
             n_parts.append(np.frombuffer(r.norms, dtype=np.uint8))
-            if positions:
+            if has_pos:
                 p_parts.extend(decode_positions(r.pos, t))
         docs = np.concatenate(d_parts)
         tfs = np.concatenate(t_parts)
         norms = np.concatenate(n_parts)
         order = np.argsort(docs, kind="stable")
         docs, tfs, norms = docs[order], tfs[order], norms[order]
-        if positions:
+        if has_pos:
             p_parts = [p_parts[j] for j in order]
         rows = []
         blocks = encode_blocks(docs, tfs)
@@ -453,6 +527,7 @@ def _merge_group_factory(n_buckets: int, positions: bool = False):
             s, e = blk["block_id"] * 128, blk["block_id"] * 128 + blk["doc_count"]
             rows.append(
                 (
+                    field,
                     term,
                     salt,
                     blk["block_id"],
@@ -463,7 +538,7 @@ def _merge_group_factory(n_buckets: int, positions: bool = False):
                     int(tfs[s:e].sum()),
                     blk["payload"],
                     norms[s:e].tobytes(),
-                    encode_positions(p_parts[s:e]) if positions else None,
+                    encode_positions(p_parts[s:e]) if has_pos else None,
                     blk["max_tf"],
                     float(ntab[s:e].min()),
                     bucket,
@@ -472,9 +547,10 @@ def _merge_group_factory(n_buckets: int, positions: bool = False):
         return pd.DataFrame(
             rows,
             columns=[
-                "term", "salt", "block_id", "kind", "first_doc", "last_doc",
-                "doc_count", "sum_tf", "payload", "norms_payload",
-                "pos_payload", "max_tf", "min_ntab", "bucket",
+                "field", "term", "salt", "block_id", "kind", "first_doc",
+                "last_doc", "doc_count", "sum_tf", "payload",
+                "norms_payload", "pos_payload", "max_tf", "min_ntab",
+                "bucket",
             ],
         )
 
@@ -493,18 +569,18 @@ def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig,
 
     docs = spark.read.parquet(
         os.path.join(index_dir, "docmap", f"seg={seg}")
-    ).select("doc_id", "norm_byte", "text")
+    ).select("doc_id", "norm_byte", "text", *KEYWORD_FIELDS)
     chunks = docs.mapInPandas(
         _partial_postings_factory(hot_salts, max_doc, cfg.positions),
         CHUNK_SCHEMA,
     )
     merge = _merge_group_factory(cfg.n_buckets, cfg.positions)
-    postings = chunks.groupBy("term", "salt").applyInPandas(
+    postings = chunks.groupBy("field", "term", "salt").applyInPandas(
         merge, POSTINGS_SCHEMA
     )
     (
         postings.repartition(max(cfg.n_buckets, 1), "bucket")
-        .sortWithinPartitions("term", "salt", "block_id")
+        .sortWithinPartitions("field", "term", "salt", "block_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "postings", f"seg={seg}"))
@@ -524,19 +600,22 @@ def _stage_term_stats(spark: SparkSession, index_dir: str) -> None:
     search/IndexSearcher.java:777-810) — column-pruned scan, no payloads
     read, no corpus-wide shuffle."""
     p = spark.read.parquet(os.path.join(index_dir, "postings")).select(
-        "term", "doc_count", "sum_tf"
+        "field", "term", "doc_count", "sum_tf"
     )
-    ts = p.groupBy("term").agg(
+    ts = p.groupBy("field", "term").agg(
         F.sum("doc_count").cast("long").alias("doc_freq"),
         F.sum("sum_tf").alias("total_term_freq"),
     )
-    # term-sorted layout: parquet row-group min/max stats on `term` become
-    # tight, so multi-term rewrites (prefix/range pushdown in
-    # query/multiterm.expand_from_dataset) prune row groups instead of
+    # (field, term)-sorted layout: parquet row-group min/max stats on
+    # `term` become tight, so multi-term rewrites (prefix/range pushdown
+    # in query/multiterm.expand_from_dataset) prune row groups instead of
     # scanning the whole dictionary — the FST-ordered terms dict analogue
     (
-        ts.repartitionByRange(max(1, ts.sparkSession.sparkContext.defaultParallelism // 4), "term")
-        .sortWithinPartitions("term")
+        ts.repartitionByRange(
+            max(1, ts.sparkSession.sparkContext.defaultParallelism // 4),
+            "field", "term",
+        )
+        .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "term_stats"))
     )
@@ -585,7 +664,7 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
         index_dir,
         {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
          "salt_df_threshold": cfg.salt_df_threshold,
-         "positions": cfg.positions},
+         "positions": cfg.positions, "schema_version": 2},
     )
     if not (resume and store.stage_committed(index_dir, "docmap")):
         _stage_docmap(spark, transcripts, index_dir, cfg, seg=0, doc_base=0)
@@ -671,7 +750,9 @@ def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
     from .codec import decode_block, decode_positions, encode_positions
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        field = pdf["field"].iloc[0]
         term = pdf["term"].iloc[0]
+        has_pos = positions and field == "text"
         d_parts, t_parts, n_parts, p_parts = [], [], [], []
         for r in pdf.itertuples(index=False):
             d, t = decode_block(
@@ -681,14 +762,14 @@ def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
             d_parts.append(d)
             t_parts.append(t)
             n_parts.append(np.frombuffer(r.norms_payload, dtype=np.uint8))
-            if positions:
+            if has_pos:
                 p_parts.extend(decode_positions(r.pos_payload, t))
         docs = np.concatenate(d_parts)
         tfs = np.concatenate(t_parts)
         norms = np.concatenate(n_parts)
         order = np.argsort(docs, kind="stable")
         docs, tfs, norms = docs[order], tfs[order], norms[order]
-        if positions:
+        if has_pos:
             p_parts = [p_parts[j] for j in order]
         n_salt = (
             int(np.ceil(docs.size / salt_target))
@@ -713,12 +794,12 @@ def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
                 e = off + blk["doc_count"]
                 rows.append(
                     (
-                        term, salt, blk["block_id"], blk["kind"],
+                        field, term, salt, blk["block_id"], blk["kind"],
                         blk["first_doc"], blk["last_doc"], blk["doc_count"],
                         int(tfs[s0 + off : s0 + e].sum()), blk["payload"],
                         norms[s0 + off : s0 + e].tobytes(),
                         encode_positions(p_parts[s0 + off : s0 + e])
-                        if positions else None,
+                        if has_pos else None,
                         blk["max_tf"],
                         float(ntab[s0 + off : s0 + e].min()),
                         bucket,
@@ -728,9 +809,10 @@ def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
         return pd.DataFrame(
             rows,
             columns=[
-                "term", "salt", "block_id", "kind", "first_doc", "last_doc",
-                "doc_count", "sum_tf", "payload", "norms_payload",
-                "pos_payload", "max_tf", "min_ntab", "bucket",
+                "field", "term", "salt", "block_id", "kind", "first_doc",
+                "last_doc", "doc_count", "sum_tf", "payload",
+                "norms_payload", "pos_payload", "max_tf", "min_ntab",
+                "bucket",
             ],
         )
 
@@ -761,9 +843,10 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
         out_dir,
         {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
          "salt_df_threshold": cfg.salt_df_threshold,
-         "positions": cfg.positions},
+         "positions": cfg.positions, "schema_version": 2},
     )
-    fs = read_field_stats(index_dir)
+    all_fs = read_all_field_stats(index_dir)
+    max_doc = max((v["max_doc"] for v in all_fs.values()), default=0)
     # consolidated docmap (docIDs unchanged)
     spark.read.parquet(os.path.join(index_dir, "docmap")).drop("seg").write.mode(
         "overwrite"
@@ -771,20 +854,32 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
     fs_dir = os.path.join(out_dir, "field_stats", "seg=0")
     os.makedirs(fs_dir, exist_ok=True)
     pq.write_table(
-        pa.table({k: pa.array([int(v)], pa.int64()) for k, v in fs.items()}),
+        pa.table(
+            {
+                "field": pa.array(list(all_fs), pa.string()),
+                "doc_count": pa.array(
+                    [v["doc_count"] for v in all_fs.values()], pa.int64()
+                ),
+                "sum_total_term_freq": pa.array(
+                    [v["sum_total_term_freq"] for v in all_fs.values()],
+                    pa.int64(),
+                ),
+                "max_doc": pa.array([max_doc] * len(all_fs), pa.int64()),
+            }
+        ),
         os.path.join(fs_dir, "part-0.parquet"),
     )
-    store.commit_stage(out_dir, "docmap", {"max_doc": fs["max_doc"]})
+    store.commit_stage(out_dir, "docmap", {"max_doc": max_doc})
     store.commit_stage(out_dir, "field_stats")
     blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
     merge = _compact_group_factory(
-        cfg.n_buckets, cfg.positions, fs["max_doc"],
+        cfg.n_buckets, cfg.positions, max_doc,
         cfg.salt_df_threshold, cfg.salt_target,
     )
     (
-        blocks.groupBy("term").applyInPandas(merge, POSTINGS_SCHEMA)
+        blocks.groupBy("field", "term").applyInPandas(merge, POSTINGS_SCHEMA)
         .repartition(max(cfg.n_buckets, 1), "bucket")
-        .sortWithinPartitions("term", "salt", "block_id")
+        .sortWithinPartitions("field", "term", "salt", "block_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "postings", "seg=0"))

@@ -55,8 +55,31 @@ class LuceneOracle:
         self.sum_total_term_freq = 0
 
     # ---- build ---------------------------------------------------------
-    def build(self, rows: list[tuple[int, str]]) -> "LuceneOracle":
-        """rows: (doc_id, text), doc_ids dense 0..n-1 in stable order."""
+    def build(self, rows: list[tuple[int, str]],
+              keyword_values: dict[str, list] | None = None,
+              ts_values: list | None = None) -> "LuceneOracle":
+        """rows: (doc_id, text), doc_ids dense 0..n-1 in stable order.
+        keyword_values: {field: per-doc value list} (None entries = doc
+        lacks the field); ts_values: per-doc timestamps (numpy
+        datetime64-able) for the point field."""
+        self.kw_postings: dict[str, dict[str, np.ndarray]] = {}
+        self.kw_doc_count: dict[str, int] = {}
+        for f, vals in (keyword_values or {}).items():
+            by_val: dict[str, list[int]] = {}
+            cnt = 0
+            for d, v in enumerate(vals):
+                if v is None:
+                    continue
+                cnt += 1
+                by_val.setdefault(v, []).append(d)
+            self.kw_postings[f] = {
+                v: np.array(ds, dtype=np.int64) for v, ds in by_val.items()
+            }
+            self.kw_doc_count[f] = cnt
+        self.ts = (
+            np.array(ts_values, dtype="datetime64[us]")
+            if ts_values is not None else None
+        )
         rows = sorted(rows)
         n = len(rows)
         lengths = np.zeros(n, dtype=np.int64)
@@ -124,10 +147,46 @@ class LuceneOracle:
 
     def _eval(self, node: QueryNode) -> tuple[np.ndarray, np.ndarray]:
         kind = node[0]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         if kind == "term":
             return self._score_term(node[1])
+        if kind == "fterm":
+            # keyword StringField: per-field stats, omitNorms -> norm = k1
+            f, v = node[1], node[2]
+            docs = self.kw_postings.get(f, {}).get(v)
+            if docs is None or docs.size == 0:
+                return empty
+            dc_f = self.kw_doc_count.get(f, 0)
+            df = docs.size
+            idf = np.float32(np.log(1 + (dc_f - df + 0.5) / (df + 0.5)))
+            k1 = np.float32(self.params.k1)
+            wv = np.float32(idf * (k1 + np.float32(1.0)))
+            one = np.float32(1.0)
+            sc = np.float32(wv * one / (one + k1))
+            return docs, np.full(docs.size, sc, dtype=np.float32)
+        if kind == "tsrange":
+            if self.ts is None:
+                return empty
+            _, lo, hi, il, ih = node
+            mask = ~np.isnat(self.ts)
+            if lo is not None:
+                lov = np.datetime64(lo)
+                mask &= (self.ts >= lov) if il else (self.ts > lov)
+            if hi is not None:
+                hiv = np.datetime64(hi)
+                mask &= (self.ts <= hiv) if ih else (self.ts < hiv)
+            docs = np.flatnonzero(mask).astype(np.int64)
+            return docs, np.ones(docs.size, dtype=np.float32)
+        if kind == "reqfilter":
+            pd_, ps = self._eval(node[1])
+            fd, _ = self._eval(node[2])
+            keep = np.isin(pd_, fd, assume_unique=True)
+            return pd_[keep], ps[keep]
+        if kind == "filter0":
+            docs, _ = self._eval(node[1])
+            return docs, np.zeros(docs.size, dtype=np.float32)
         if kind == "matchnone":
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            return empty
         if kind == "const_or":
             parts = [
                 self.postings[t][0] for t in node[1] if t in self.postings
@@ -275,10 +334,12 @@ class LuceneOracle:
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":
             return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
-        if kind in ("andnot", "reqopt"):
+        if kind in ("andnot", "reqopt", "reqfilter"):
             return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
         if kind == "boost":
             return ("boost", self.rewrite(node[1]), node[2])
+        if kind == "filter0":
+            return ("filter0", self.rewrite(node[1]))
         return node
 
     def search(self, node: QueryNode, k: int = 10) -> list[tuple[int, float]]:

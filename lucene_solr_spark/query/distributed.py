@@ -65,13 +65,23 @@ class DistributedSearcher:
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
 
     # ------------------------------------------------------------ plan
-    def _pruned_postings(self, terms: list[str], cols: list[str]) -> DataFrame:
-        """Posting-block scan for the given terms: bucket partition
-        pruning + term predicate pushdown, column-pruned to `cols`."""
+    @property
+    def _text_stats(self) -> DataFrame:
+        return self._term_stats.filter(F.col("field") == "text")
+
+    def _pruned_postings(self, terms: list[str], cols: list[str],
+                         field: str = "text") -> DataFrame:
+        """Posting-block scan for the given terms of one field: bucket
+        partition pruning + field/term predicate pushdown, column-pruned
+        to `cols`."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         return (
             self.spark.read.parquet(self._postings_path)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .filter(
+                F.col("bucket").isin(buckets)
+                & (F.col("field") == field)
+                & F.col("term").isin(terms)
+            )
             .select(*cols)
         )
 
@@ -113,7 +123,7 @@ class DistributedSearcher:
         bit-stable against an ANSI-SQL twin."""
         tp = self._decoded_tf_df(terms)
         ts = (
-            self._term_stats.filter(F.col("term").isin(terms))
+            self._text_stats.filter(F.col("term").isin(terms))
             .select("term", "doc_freq")
         )
         dl = self.spark.read.parquet(
@@ -146,7 +156,7 @@ class DistributedSearcher:
             return self._scored_terms_df_double(terms)
         dfs = {
             r["term"]: int(r["doc_freq"])
-            for r in self._term_stats.filter(F.col("term").isin(terms)).collect()
+            for r in self._text_stats.filter(F.col("term").isin(terms)).collect()
         }
         post = self._pruned_postings(
             terms, ["term", "salt", "block_id", "kind", "first_doc",
@@ -201,6 +211,61 @@ class DistributedSearcher:
         return post.mapInPandas(
             score_blocks, "term string, doc_id long, score float"
         )
+
+    def _fterm_plan(self, field: str, value: str,
+                    clause_idx: list[int]) -> DataFrame:
+        """Keyword-field TermQuery plan: decode the (field, value)
+        posting list (bucket-pruned scan) and attach the constant
+        omitNorms BM25 score (tf is always 1 for StringField values, so
+        the score idf*(k1+1)*1/(1+k1) is a per-query literal computed
+        with the engine's float discipline)."""
+        i = clause_idx[0]
+        clause_idx[0] += 1
+        docs = self._decoded_tf_df_for_field(field, value)
+        row = (
+            self._term_stats.filter(
+                (F.col("field") == field) & (F.col("term") == value)
+            ).select("doc_freq").collect()
+        )
+        df_t = int(row[0]["doc_freq"]) if row else 0
+        from ..index.builder import read_field_stats
+
+        dc_f = int(read_field_stats(self.index_dir, field)["doc_count"] or 0)
+        if self.dtype == "float32":
+            k1 = np.float32(self.k1)
+            idf = np.float32(np.log(1 + (dc_f - df_t + 0.5) / (df_t + 0.5)))
+            wv = np.float32(idf * (k1 + np.float32(1.0)))
+            one = np.float32(1.0)
+            sc = float(np.float32(wv * one / (one + k1)))
+        else:
+            idf = math.log(1.0 + (dc_f - df_t + 0.5) / (df_t + 0.5))
+            sc = idf * (self.k1 + 1.0) * 1.0 / (1.0 + self.k1)
+        return docs.select(
+            "doc_id",
+            F.lit(sc).cast(self._st).alias("score"),
+            F.lit(i).alias("cidx"),
+        )
+
+    def _decoded_tf_df_for_field(self, field: str, value: str) -> DataFrame:
+        post = self._pruned_postings(
+            [value], ["term", "kind", "first_doc", "block_id", "doc_count",
+                      "payload"], field=field,
+        )
+
+        def dec(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs, _ = decode_block(
+                        dict(kind=row.kind, payload=row.payload,
+                             doc_count=row.doc_count, first_doc=row.first_doc,
+                             block_id=row.block_id)
+                    )
+                    outs.append(pd.DataFrame({"doc_id": docs}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return post.mapInPandas(dec, "doc_id long")
 
     def _phrase_positions_df(self, terms: list[str]) -> DataFrame:
         """DF(term, doc_id, norm int, pos array<long>): decoded positions
@@ -263,7 +328,7 @@ class DistributedSearcher:
             joined = cdf if joined is None else joined.join(cdf, "doc_id")
         dfs = {
             r["term"]: int(r["doc_freq"])
-            for r in self._term_stats.filter(F.col("term").isin(terms))
+            for r in self._text_stats.filter(F.col("term").isin(terms))
             .collect()
         }
         if self.dtype == "float64":
@@ -403,6 +468,42 @@ class DistributedSearcher:
                 ).cast(st).alias("score"),
                 "cidx",
             )
+        if kind == "fterm":
+            return self._fterm_plan(node[1], node[2], clause_idx)
+        if kind == "tsrange":
+            # PointRangeQuery analogue: the ts predicate pushes into the
+            # docmap parquet scan (constant score 1.0 as a scoring clause)
+            i = clause_idx[0]
+            clause_idx[0] += 1
+            _, lo, hi, il, ih = node
+            dm = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "ts")
+            cond = F.col("ts").isNotNull()
+            if lo is not None:
+                lov = F.lit(lo).cast("timestamp")
+                cond = cond & (F.col("ts") >= lov if il else F.col("ts") > lov)
+            if hi is not None:
+                hiv = F.lit(hi).cast("timestamp")
+                cond = cond & (F.col("ts") <= hiv if ih else F.col("ts") < hiv)
+            return dm.filter(cond).select(
+                "doc_id",
+                F.lit(1.0).cast(st).alias("score"),
+                F.lit(i).alias("cidx"),
+            )
+        if kind == "reqfilter":
+            pos = self._plan(node[1], scored, clause_idx)
+            filt = self._plan(node[2], scored, clause_idx)
+            return pos.join(
+                filt.select("doc_id"), "doc_id", "left_semi"
+            )
+        if kind == "filter0":
+            filt = self._plan(node[1], scored, clause_idx)
+            return filt.select(
+                "doc_id",
+                F.lit(0.0).cast(st).alias("score"),
+                "cidx",
+            )
         if kind == "phrase":
             return self._phrase_plan(
                 node[1], node[2] if len(node) > 2 else 0, clause_idx
@@ -508,14 +609,14 @@ class DistributedSearcher:
                 # distance 2 reached via two transpositions (Levenshtein 4)
                 cand = [
                     r["term"]
-                    for r in self._term_stats.filter(
+                    for r in self._text_stats.filter(
                         F.levenshtein(t, F.lit(node[1])) <= 2 * node[2]
                     ).select("term").collect()
                 ]
                 return _capped(expand_fuzzy(cand, node[1], node[2]))
             terms = [
                 r["term"]
-                for r in self._term_stats.filter(cond)
+                for r in self._text_stats.filter(cond)
                 .select("term")
                 .limit(MAX_CLAUSE_COUNT + 1)
                 .collect()
@@ -525,10 +626,12 @@ class DistributedSearcher:
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":
             return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
-        if kind in ("andnot", "reqopt"):
+        if kind in ("andnot", "reqopt", "reqfilter"):
             return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
         if kind == "boost":
             return ("boost", self.rewrite(node[1]), node[2])
+        if kind == "filter0":
+            return ("filter0", self.rewrite(node[1]))
         return node
 
     # ------------------------------------------------------------- api
@@ -616,16 +719,18 @@ class DistributedSearcher:
 
 
 def _terms_of(node) -> list[str]:
+    """Text-field terms the shared scored-terms scan must cover (fterm /
+    tsrange nodes plan their own pruned scans)."""
     kind = node[0]
     if kind == "term":
         return [node[1]]
     if kind == "const_or":
         return list(node[1])
-    if kind == "matchnone":
+    if kind in ("matchnone", "fterm", "tsrange"):
         return []
-    if kind in ("andnot", "reqopt"):
+    if kind in ("andnot", "reqopt", "reqfilter"):
         return _terms_of(node[1]) + _terms_of(node[2])
-    if kind == "boost":
+    if kind in ("boost", "filter0"):
         return _terms_of(node[1])
     if kind == "phrase":
         return [t for t, _ in node[1]]

@@ -142,9 +142,12 @@ class LocalSearcher:
         self.n_buckets = int(self.params["n_buckets"])
         self.k1 = np.float32(self.params.get("k1", 1.2))
         self.b = np.float32(self.params.get("b", 0.75))
-        from ..index.builder import read_field_stats
+        from ..index.builder import read_all_field_stats
 
-        fs = read_field_stats(index_dir)
+        self.fstats = read_all_field_stats(index_dir)
+        fs = self.fstats.get(
+            "text", {"doc_count": 0, "sum_total_term_freq": 0, "max_doc": 0}
+        )
         self.doc_count = int(fs["doc_count"] or 0)
         self.sum_ttf = int(fs["sum_total_term_freq"] or 0)
         self.max_doc = int(fs["max_doc"] or 0)
@@ -161,24 +164,37 @@ class LocalSearcher:
             os.path.join(index_dir, "postings"), format="parquet",
             partitioning="hive",
         )
-        self._term_cache: dict[str, _TermPostings] = {}
+        #: decoded posting lists keyed (field, term)
+        self._term_cache: dict[tuple[str, str], _TermPostings] = {}
 
     # ------------------------------------------------------------ fetch
-    def _load_terms(self, terms: list[str]) -> None:
-        missing = [t for t in set(terms) if t not in self._term_cache]
+    def _tp(self, term: str, field: str = "text") -> _TermPostings:
+        return self._term_cache[(field, term)]
+
+    def _load_terms(self, pairs: list[tuple[str, str]]) -> None:
+        """Fetch posting blocks for (field, term) pairs not yet cached —
+        ONE bucket-pruned, predicate-pushed scan for all of them."""
+        missing = [p for p in set(pairs) if p not in self._term_cache]
         if not missing:
             return
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+        buckets = sorted(
+            {term_bucket(t, self.n_buckets) for _, t in missing}
+        )
         import pyarrow.compute as pc
 
-        filt = pc.field("bucket").isin(buckets) & pc.field("term").isin(missing)
-        tbl = self._postings_ds.to_table(filter=filt)
-        rows = tbl.to_pylist()
-        by_term: dict[str, list[dict]] = {t: [] for t in missing}
+        filt = (
+            pc.field("bucket").isin(buckets)
+            & pc.field("term").isin(sorted({t for _, t in missing}))
+            & pc.field("field").isin(sorted({f for f, _ in missing}))
+        )
+        rows = self._postings_ds.to_table(filter=filt).to_pylist()
+        by_key: dict[tuple[str, str], list[dict]] = {p: [] for p in missing}
         for r in rows:
-            by_term[r["term"]].append(r)
-        for t in missing:
-            self._term_cache[t] = _TermPostings(t, by_term[t])
+            key = (r["field"], r["term"])
+            if key in by_key:
+                by_key[key].append(r)
+        for (f, t) in missing:
+            self._term_cache[(f, t)] = _TermPostings(t, by_key[(f, t)])
 
     # ---------------------------------------------------------- scoring
     def _weight_value(self, df: int) -> np.float32:
@@ -193,7 +209,7 @@ class LocalSearcher:
         return (wv * freq / (freq + self.cache[norms])).astype(np.float32)
 
     def _term_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        tp = self._term_cache[term]
+        tp = self._tp(term)
         docs, tfs, norms = tp.decode_all()
         wv = self._weight_value(tp.n_docs)
         return docs, self._score_arrays(tfs, norms, wv)
@@ -202,7 +218,7 @@ class LocalSearcher:
                      ) -> tuple[np.ndarray, np.ndarray]:
         """Scores of `candidates` (sorted) that this term matches, decoding
         only blocks whose doc range intersects the candidates."""
-        tp = self._term_cache[term]
+        tp = self._tp(term)
         if not tp.blocks or candidates.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         fd, ld = tp.block_ranges()
@@ -242,7 +258,9 @@ class LocalSearcher:
             return None
         kind = node[0]
         if kind in MULTI_TERM_KINDS:
-            terms = expand_from_dataset(node, self._terms_dataset())
+            terms = expand_from_dataset(
+                node, self._terms_dataset(), field="text"
+            )
             if not terms:
                 return ("matchnone",)
             return ("const_or", terms)
@@ -250,28 +268,33 @@ class LocalSearcher:
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":
             return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
-        if kind in ("andnot", "reqopt"):
+        if kind in ("andnot", "reqopt", "reqfilter"):
             return (kind, self.rewrite(node[1]), self.rewrite(node[2]))
         if kind == "boost":
             return ("boost", self.rewrite(node[1]), node[2])
+        if kind == "filter0":
+            return ("filter0", self.rewrite(node[1]))
         return node
 
     # ------------------------------------------------------------- eval
-    def _collect_terms(self, node) -> list[str]:
+    def _collect_terms(self, node) -> list[tuple[str, str]]:
+        """(field, term) pairs whose postings the query needs."""
         if node is None:
             return []
         kind = node[0]
         if kind == "term":
-            return [node[1]]
+            return [("text", node[1])]
+        if kind == "fterm":
+            return [(node[1], node[2])]
         if kind == "const_or":
-            return list(node[1])
+            return [("text", t) for t in node[1]]
         if kind == "phrase":
-            return [t for t, _ in node[1]]
-        if kind == "matchnone":
+            return [("text", t) for t, _ in node[1]]
+        if kind in ("matchnone", "tsrange"):
             return []
-        if kind in ("andnot", "reqopt"):
+        if kind in ("andnot", "reqopt", "reqfilter"):
             return self._collect_terms(node[1]) + self._collect_terms(node[2])
-        if kind == "boost":
+        if kind in ("boost", "filter0"):
             return self._collect_terms(node[1])
         out = []
         for c in (node[2] if kind == "msm_or" else node[1]):
@@ -302,7 +325,7 @@ class LocalSearcher:
         ConjunctionDISI discipline), then each clause decodes just the
         blocks covering those docs."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float32))
-        tps = [self._term_cache[t] for t, _ in clauses]
+        tps = [self._tp(t) for t, _ in clauses]
         if any(not tp.blocks for tp in tps):
             return empty
         # 1) candidate docs: docs-only intersection, cheapest df leads,
@@ -396,16 +419,80 @@ class LocalSearcher:
             memo[id(node)] = out
         return out
 
+    def _fterm_scores(self, field: str, term: str
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Keyword-field TermQuery: per-FIELD collection stats for idf
+        (index/FieldInfos.java — stats are per field), omitNorms scoring
+        (StringField): BM25DocScorer with norms == null uses k1 as the
+        norm value (BM25Similarity.java:229-254), so
+        score = idf * (k1+1) * tf / (tf + k1) with tf = 1."""
+        tp = self._tp(term, field)
+        docs, tfs, _ = tp.decode_all()
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        dc_f = int(self.fstats.get(field, {}).get("doc_count", 0))
+        df = tp.n_docs
+        idf = np.float32(np.log(1 + (dc_f - df + 0.5) / (df + 0.5)))
+        wv = np.float32(idf * (self.k1 + np.float32(1.0)))
+        freq = tfs.astype(np.float32)
+        return docs, (wv * freq / (freq + self.k1)).astype(np.float32)
+
+    def _ts_docs(self, node) -> np.ndarray:
+        """Sorted docIDs whose `ts` lies in the range — the
+        PointRangeQuery analogue: the predicate pushes into the docmap
+        parquet scan (column-pruned to doc_id/ts, row groups pruned by
+        ts min/max stats — the BKD-tree role)."""
+        import pyarrow.compute as pc
+
+        _, lo, hi, il, ih = node
+        if not hasattr(self, "_docmap_ds"):
+            self._docmap_ds = pads.dataset(
+                os.path.join(self.index_dir, "docmap"), format="parquet",
+                partitioning="hive",
+            )
+        filt = pc.field("ts").is_valid()
+        if lo is not None:
+            lov = np.datetime64(lo)
+            filt = filt & (
+                pc.field("ts") >= lov if il else pc.field("ts") > lov
+            )
+        if hi is not None:
+            hiv = np.datetime64(hi)
+            filt = filt & (
+                pc.field("ts") <= hiv if ih else pc.field("ts") < hiv
+            )
+        tbl = self._docmap_ds.to_table(columns=["doc_id"], filter=filt)
+        return np.sort(tbl.column("doc_id").to_numpy())
+
     def _eval_inner(self, node) -> tuple[np.ndarray, np.ndarray]:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
+        if kind == "fterm":
+            return self._fterm_scores(node[1], node[2])
+        if kind == "tsrange":
+            # PointRangeQuery is constant-score (1.0) as a scoring clause
+            docs = self._ts_docs(node)
+            return docs, np.ones(docs.size, dtype=np.float32)
+        if kind == "reqfilter":
+            # Occur.FILTER: must match, contributes no score
+            # (BooleanQuery.java:184-205 needsScores=false clauses)
+            pd_, ps = self._eval(node[1])
+            if pd_.size == 0:
+                return pd_, ps
+            fd = self._docs_of(node[2])
+            keep = _sorted_isin(pd_, fd)
+            return pd_[keep], ps[keep]
+        if kind == "filter0":
+            # only-FILTER query: matching docs, all scores 0
+            docs = self._docs_of(node[1])
+            return docs, np.zeros(docs.size, dtype=np.float32)
         if kind == "matchnone":
             return np.empty(0, np.int64), np.empty(0, np.float32)
         if kind == "const_or":
             # MultiTermQueryConstantScoreWrapper: every matching doc
             # scores the boost (1.0 here; boost applies via the boost node)
-            parts = [self._term_cache[t].decode_all()[0] for t in node[1]]
+            parts = [self._tp(t).decode_all()[0] for t in node[1]]
             docs = (
                 np.unique(np.concatenate(parts)) if parts
                 else np.empty(0, np.int64)
@@ -462,13 +549,13 @@ class LocalSearcher:
             # cost order: cheapest df leads (ConjunctionDISI discipline)
             def df_of(n):
                 if n[0] == "term":
-                    return self._term_cache[n[1]].n_docs
+                    return self._tp(n[1]).n_docs
                 return self.max_doc + 1  # composite: evaluate late
 
             ordered = sorted(range(len(children)), key=lambda i: df_of(children[i]))
             lead = children[ordered[0]]
             if lead[0] == "term":
-                docs = self._term_cache[lead[1]]
+                docs = self._tp(lead[1])
                 docs_arr, _, _ = docs.decode_all()
                 cand = docs_arr
             else:
@@ -513,8 +600,8 @@ class LocalSearcher:
 
     # -------------------------------------------- pruned top-level OR
     def _mostly_undecoded(self, terms: list[str]) -> bool:
-        total = sum(len(self._term_cache[t].blocks) for t in terms)
-        cached = sum(len(self._term_cache[t]._decoded) for t in terms)
+        total = sum(len(self._tp(t).blocks) for t in terms)
+        cached = sum(len(self._tp(t)._decoded) for t in terms)
         return total > 0 and cached < total // 2
 
     def _block_ubs(self, tp: "_TermPostings", wv: float) -> np.ndarray:
@@ -549,7 +636,7 @@ class LocalSearcher:
         cannot beat theta — a hot term's tail blocks never decode
         (the single-scorer analogue of BlockMaxWAND; cf. Lucene 8's
         block-max TopScoreDocCollector early exit)."""
-        tp = self._term_cache[term]
+        tp = self._tp(term)
         wv = self._weight_value(tp.n_docs)
         ubs = self._block_ubs(tp, float(wv))
         order = np.argsort(-ubs, kind="stable")
@@ -568,7 +655,7 @@ class LocalSearcher:
     def _search_or_pruned(self, terms: list[str], k: int, after=None
                           ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned evaluation of a flat OR of terms."""
-        tps = [self._term_cache[t] for t in terms]
+        tps = [self._tp(t) for t in terms]
         wvs = np.array(
             [self._weight_value(tp.n_docs) for tp in tps], dtype=np.float64
         )

@@ -7,7 +7,11 @@ Grammar subset of lucene/queryparser/.../classic/QueryParser.jj:196-226:
     phrases take the reference's hasRpts path and are rejected),
     wild*card / wild?card, prefix*, fuzzy~[n], /regexp/,
     [lo TO hi] / {lo TO hi} term ranges, clause^boost,
-    (a b c)@n minimumNumberShouldMatch groups.
+    (a b c)@n minimumNumberShouldMatch groups,
+    field:value scoping (text: analyzed, role:/tool: keyword StringField,
+    ts: point ranges `ts:[iso TO iso]`), #clause Occur.FILTER prefix
+    (match-no-score; the classic parser has no FILTER syntax — `#` is
+    this parser's surface for BooleanClause.Occur.FILTER / Solr fq).
 
 Query atoms run through the same analyzer as indexing, so stopwords
 vanish (an all-stopword query is empty -> matches nothing) and atoms
@@ -27,6 +31,10 @@ Output: the oracle/engine query tree
   | ("reqopt", req_node, opt_node)        # '+' in an OR context / ReqOptSumScorer
   | ("boost", node, factor)               # BoostQuery
   | ("msm_or", n, [nodes])                # OR with minShouldMatch=n
+  | ("fterm", field, value)               # keyword-field TermQuery
+  | ("tsrange", lo, hi, incl_lo, incl_hi) # point-field range (ts)
+  | ("reqfilter", pos, filt)              # Occur.FILTER clauses present
+  | ("filter0", filt)                     # only-FILTER query (score 0)
   | ("phrase", [(term, rel_pos), ...])    # PhraseQuery (exact), analyzer
                                           #   position gaps preserved
   | ("phrase", [(term, rel_pos), ...], slop)  # sloppy phrase (~n)
@@ -48,12 +56,27 @@ from ..analysis.analyzer import analyze_detailed
 _TOKENS_RE = re.compile(
     r'"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?'   # quoted phrase [+slop][+boost]
     r"|/[^/]*/(?:\^[0-9.]+)?"           # regexp [+boost]
-    r"|\(|\)|&&|\|\||!|\+(?=[^\s])|-(?=[^\s])"
+    r"|\(|\)|&&|\|\||!|\+(?=[^\s])|-(?=[^\s])|#(?=[^\s])"
     r"|[^\s()!]+"
 )
 
 _FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 _BOOST_RE = re.compile(r"^(.+?)\^([0-9]+(?:\.[0-9]+)?)$")
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
+
+#: the index's field schema ("a term followed by a colon, indicating the
+#: field", queryparser/classic/QueryParser.jj:52-53 + index/FieldInfos):
+#: text  — analyzed TextField (the default search field),
+#: role/tool — keyword StringFields (verbatim value, omitNorms),
+#: ts    — point field (timestamp ranges, PointRangeQuery analogue).
+#: Atoms with an unknown prefix fall through to the analyzer unchanged
+#: (':' is a StandardTokenizer MidLetter connector).
+DEFAULT_FIELDS = {
+    "text": "text",
+    "role": "keyword",
+    "tool": "keyword",
+    "ts": "point",
+}
 
 
 class QueryParseError(ValueError):
@@ -65,9 +88,10 @@ def _lex(text: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], fields: dict[str, str] | None = None):
         self.toks = toks
         self.i = 0
+        self.fields = DEFAULT_FIELDS if fields is None else fields
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -82,7 +106,7 @@ class _Parser:
     # operator SHOULD, QueryParser.jj).  '+' clauses become required
     # (ReqOptSumScorer); '-'/NOT clauses become prohibited (ReqExclScorer).
     def parse_or(self):
-        shoulds, musts, must_nots = [], [], []
+        shoulds, musts, must_nots, filters = [], [], [], []
         first = True
         while True:
             t = self.peek()
@@ -95,7 +119,8 @@ class _Parser:
             if node is None:
                 continue
             (musts if occur == "+" else
-             must_nots if occur == "-" else shoulds).append(node)
+             must_nots if occur == "-" else
+             filters if occur == "#" else shoulds).append(node)
         pos: tuple | None
         if musts and shoulds:
             pos = ("reqopt", _combine("and", musts), _combine("or", shoulds))
@@ -103,6 +128,10 @@ class _Parser:
             pos = _combine("and", musts)
         else:
             pos = _combine("or", shoulds)
+        if filters:
+            # Occur.FILTER clauses: must match, contribute no score
+            fnode = _combine("and", filters)
+            pos = ("filter0", fnode) if pos is None else ("reqfilter", pos, fnode)
         if must_nots:
             if pos is None:
                 return ("matchnone",)  # pure negative (BooleanQuery rewrite)
@@ -114,15 +143,19 @@ class _Parser:
     def parse_and(self):
         occur, first_node = self.parse_unary()
         parts = [first_node]
-        negs = []
+        negs, filters = [], []
         while self.peek() in ("AND", "&&"):
             self.next()
             o2, n2 = self.parse_unary()
             if n2 is None:
                 continue
-            (negs if o2 == "-" else parts).append(n2)
+            (negs if o2 == "-" else
+             filters if o2 == "#" else parts).append(n2)
         kept = [p for p in parts if p is not None]
         node = _combine("and", kept)
+        if filters:
+            fnode = _combine("and", filters)
+            node = ("filter0", fnode) if node is None else ("reqfilter", node, fnode)
         if negs:
             if node is None:
                 return occur, ("matchnone",)
@@ -141,6 +174,10 @@ class _Parser:
             self.next()
             _, node = self.parse_unary()
             return "+", node
+        if t == "#":
+            self.next()
+            _, node = self.parse_unary()
+            return "#", node
         return "", self.parse_atom()
 
     def parse_atom(self):
@@ -199,7 +236,56 @@ class _Parser:
             node = ("boost", node, boost)
         return node
 
+    def _collect_bracket(self, first: str) -> tuple[str, float | None]:
+        """Collect the remaining tokens of a bracketed range whose first
+        token is `first`; returns (joined text, boost or None) — a
+        trailing ^boost on the closing token is legal."""
+        toks = [first]
+        boost = None
+        while True:
+            last = toks[-1]
+            mb = re.match(r"^(.*[\]}])\^([0-9]+(?:\.[0-9]+)?)$", last)
+            if mb:
+                toks[-1] = mb.group(1)
+                boost = float(mb.group(2))
+                break
+            if last[-1] in "]}":
+                break
+            nxt = self.next()
+            if nxt is None:
+                raise QueryParseError("unterminated range")
+            toks.append(nxt)
+        return " ".join(toks), boost
+
     def _bare_atom(self, t: str):
+        # field-scoped atom: `field:value` (QueryParser.jj:52-53)
+        m = _FIELD_RE.match(t)
+        if m and m.group(1) in self.fields and not t.startswith('"'):
+            fname, rest = m.group(1), m.group(2)
+            ftype = self.fields[fname]
+            if ftype == "text":
+                # the default field — analyzed like an unscoped atom
+                return self._bare_atom(rest)
+            if ftype == "keyword":
+                # StringField: verbatim value, no analysis, no multi-term
+                if rest[0] in '[{/"' or any(c in rest for c in "*?~"):
+                    raise QueryParseError(
+                        f"keyword field {fname!r} supports exact values only"
+                    )
+                return ("fterm", fname, rest)
+            # point field (ts): range or exact value
+            if rest[0] in "[{":
+                joined, boost = self._collect_bracket(rest)
+                mr = re.match(r"^([\[{])(\S+) TO (\S+)([\]}])$", joined)
+                if not mr:
+                    raise QueryParseError(f"bad {fname} range {joined!r}")
+                lo = None if mr.group(2) == "*" else _ts_value(mr.group(2))
+                hi = None if mr.group(3) == "*" else _ts_value(mr.group(3))
+                node = ("tsrange", lo, hi,
+                        mr.group(1) == "[", mr.group(4) == "]")
+                return ("boost", node, boost) if boost is not None else node
+            v = _ts_value(rest)
+            return ("tsrange", v, v, True, True)
         # quoted phrase; "~n" = sloppy phrase (SloppyPhraseScorer)
         if t.startswith('"'):
             m = re.match(r'^"([^"]*)"(?:~(\d+))?$', t)
@@ -228,22 +314,7 @@ class _Parser:
         # term range (a trailing ^boost on the closing token is legal in
         # the classic parser: `[aa TO bb]^2`)
         if t[0] in "[{":
-            toks = [t]
-            boost = None
-            while True:
-                last = toks[-1]
-                mb = re.match(r"^(.*[\]}])\^([0-9]+(?:\.[0-9]+)?)$", last)
-                if mb:
-                    toks[-1] = mb.group(1)
-                    boost = float(mb.group(2))
-                    break
-                if last[-1] in "]}":
-                    break
-                nxt = self.next()
-                if nxt is None:
-                    raise QueryParseError("unterminated range")
-                toks.append(nxt)
-            joined = " ".join(toks)
+            joined, boost = self._collect_bracket(t)
             m = re.match(r"^([\[{])(\S+) TO (\S+)([\]}])$", joined)
             if not m:
                 raise QueryParseError(f"bad range {joined!r}")
@@ -284,13 +355,26 @@ def _combine(kind: str, nodes: list):
     return (kind, nodes)
 
 
-def parse_query(text: str):
+def _ts_value(v: str) -> str:
+    """Validate a point-field (timestamp) literal; returns it unchanged
+    for the engine to interpret as numpy datetime64."""
+    from datetime import datetime
+
+    try:
+        datetime.fromisoformat(v)
+    except ValueError:
+        raise QueryParseError(f"bad timestamp literal {v!r}") from None
+    return v
+
+
+def parse_query(text: str, fields: dict[str, str] | None = None):
     """Parse to a query tree; returns None for a query that is empty after
-    analysis (matches no documents)."""
+    analysis (matches no documents).  `fields` overrides the index field
+    schema (DEFAULT_FIELDS)."""
     toks = _lex(text)
     if not toks:
         return None
-    p = _Parser(toks)
+    p = _Parser(toks, fields)
     node = p.parse_or()
     if p.peek() is not None:
         raise QueryParseError(f"trailing input at token {p.i}: {p.peek()!r}")

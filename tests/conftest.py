@@ -29,7 +29,14 @@ def oracle(corpus_pdf):
 
     pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     rows = list(zip(range(len(pdf)), pdf["text"].tolist()))
-    return LuceneOracle().build(rows)
+    return LuceneOracle().build(
+        rows,
+        keyword_values={
+            "role": pdf["role"].tolist(),
+            "tool": pdf["tool"].tolist(),
+        },
+        ts_values=pdf["ts"].tolist(),
+    )
 
 
 @pytest.fixture(scope="session")

@@ -20,6 +20,7 @@ def test_field_stats_match_oracle(index_dir, oracle):
 
 def test_term_stats_match_oracle(index_dir, oracle):
     ts = pq.read_table(os.path.join(index_dir, "term_stats")).to_pandas()
+    ts = ts[ts["field"] == "text"]
     got = dict(zip(ts["term"], zip(ts["doc_freq"], ts["total_term_freq"])))
     want = {
         t: (len(d), int(f.sum())) for t, (d, f) in oracle.postings.items()
@@ -45,7 +46,7 @@ def test_postings_decode_match_oracle(index_dir, oracle):
     from lucene_solr_spark.index.codec import decode_block
 
     ds = pads.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
-    rows = ds.to_table().to_pylist()
+    rows = [r for r in ds.to_table().to_pylist() if r["field"] == "text"]
     by_term = {}
     for r in rows:
         by_term.setdefault(r["term"], []).append(r)
@@ -98,7 +99,7 @@ def test_salted_hot_terms_roundtrip(spark, tmp_path, oracle):
         BuildConfig(n_buckets=4, salt_df_threshold=50, salt_target=60),
     )
     ds = pads.dataset(os.path.join(d, "postings"), partitioning="hive")
-    rows = ds.to_table().to_pylist()
+    rows = [r for r in ds.to_table().to_pylist() if r["field"] == "text"]
     assert max(r["salt"] for r in rows) > 0  # salting actually happened
     by_term = {}
     for r in rows:

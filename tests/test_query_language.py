@@ -68,6 +68,31 @@ def test_parser_shapes():
     assert parse_query("(cat dog)@3") == ("matchnone",)
     with pytest.raises(QueryParseError):
         parse_query("(cat AND dog)@2")  # not a SHOULD group
+    # field scoping + FILTER clauses
+    assert parse_query("role:user") == ("fterm", "role", "user")
+    assert parse_query("role:User") == ("fterm", "role", "User")  # verbatim
+    assert parse_query("text:cat") == ("term", "cat")
+    assert parse_query("cat #role:user") == (
+        "reqfilter", ("term", "cat"), ("fterm", "role", "user")
+    )
+    assert parse_query("#role:user") == (
+        "filter0", ("fterm", "role", "user")
+    )
+    assert parse_query("ts:[2026-01-01 TO *]") == (
+        "tsrange", "2026-01-01", None, True, True
+    )
+    assert parse_query("ts:{2026-01-01T00:30:00 TO 2026-01-02T00:00:00]") == (
+        "tsrange", "2026-01-01T00:30:00", "2026-01-02T00:00:00", False, True
+    )
+    assert parse_query("ts:2026-01-01T05:00:00") == (
+        "tsrange", "2026-01-01T05:00:00", "2026-01-01T05:00:00", True, True
+    )
+    # unknown prefix falls through to the analyzer (':' is a connector)
+    assert parse_query("foo:bar") == ("term", "foo:bar")
+    with pytest.raises(QueryParseError):
+        parse_query("role:us*")  # multi-term on keyword field
+    with pytest.raises(QueryParseError):
+        parse_query("ts:notadate")
 
 
 def test_multiterm_helpers():
@@ -141,6 +166,16 @@ QUERIES = [
     "(retry deploy cache pipeline)@3",
     "(retry deploy cache)@3",   # msm == clause count: all required
     "(ba* retry deploy)@2",     # const-score expansion inside msm
+    # multi-field: keyword terms, FILTER clauses, ts point ranges
+    "role:user",
+    "retry #role:user",
+    "retry AND role:assistant",      # scoring keyword clause (idf term)
+    "cache #tool:bash",
+    "retry #ts:[2026-01-01T00:00:00 TO 2026-01-01T02:00:00]",
+    "ts:{2026-01-01T01:00:00 TO *}",
+    "#role:user #tool:bash retry",   # conjunctive filters
+    "role:user^2 OR retry",
+    "text:retry AND deploy",         # explicit default-field prefix
     # mixes
     'retry AND "fix test flake"',
     '"retry deploy" OR cache^1.5',
@@ -242,7 +277,10 @@ def test_distributed_extended(spark, index_dir, oracle):
               "retry^2 OR deploy", "[baba TO bace]",
               '"retry deploy"', '"retry deploy"~2', '"cache miss"~5',
               "(retry deploy cache)@2",
-              '"retry deploy" OR cache^1.5']:
+              '"retry deploy" OR cache^1.5',
+              "retry #role:user",
+              "retry #ts:[2026-01-01T00:00:00 TO 2026-01-01T02:00:00]",
+              "role:user AND cache"]:
         node = parse_query(q)
         got = ds.search(node, 10)
         want = oracle.search(node, 10)
@@ -304,7 +342,7 @@ def test_search_after_block_pruned(spark, tmp_path_factory):
     page2 = s.search_after("hot", page1[-1], 10)
     assert page1 == full[:10]
     assert page2 == full[10:20]
-    tp = s._term_cache["hot"]
+    tp = s._term_cache[("text", "hot")]
     assert len(tp.blocks) > 10  # the term is actually hot (19 blocks)
     # both pages together decoded only the competitive head blocks
     assert len(tp._decoded) < len(tp.blocks) // 2

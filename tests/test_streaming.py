@@ -22,7 +22,7 @@ def _term_stats_pdf(d):
     return (
         pq.read_table(os.path.join(d, "term_stats"))
         .to_pandas()
-        .sort_values("term")
+        .sort_values(["field", "term"])
         .reset_index(drop=True)
     )
 
