@@ -569,7 +569,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # ------------------------------------------- training-data operators
-    from lucene_solr_spark.operators.ann import hyperplanes, lsh_ann_topk
     from lucene_solr_spark.operators.dedup import (
         jaccard_pairs, lsh_bands, minhash_signature, near_dup_pairs, simhash,
         word_shingles,
@@ -625,11 +624,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_lsh_topk(spark, sf):
-        e = _tbl(spark, sf, "embeddings")
-        q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        return lsh_ann_topk(
-            e, [float(x) for x in q], nbits=4, k=10, exclude_key=0
+        # the at-rest path: vectors persisted partitioned by LSH bucket
+        # (bucketize once, idempotent), query prunes partitions
+        from lucene_solr_spark.operators.ann import (
+            bucketize, lsh_ann_topk_at_rest,
+        )
+
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        bdir = os.path.join(_GATE_ROOT, f"{tag}_annbuckets")
+        if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            bucketize(_tbl(spark, sf, "embeddings"), bdir, nbits=4)
+        q = (
+            _tbl(spark, sf, "embeddings")
+            .filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        )
+        return lsh_ann_topk_at_rest(
+            spark, bdir, [float(x) for x in q], nbits=4, k=10, exclude_key=0
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    def stream_subfacet(spark, sf):
+        # nested JSON facet: top event types, each with its top hours
+        from lucene_solr_spark.operators import subfacet
+
+        e = _tbl(spark, sf, "events").withColumn("hour", F.hour("ts"))
+        return subfacet(
+            e, "event_type", "hour", {"count": []}, limit=3, sub_limit=2
+        ).select("event_type", "hour", "parent_count_rows", "count_rows")
 
     return {
         "term_stats": term_stats,
@@ -677,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_features": text_features_q,
         "ann_lsh_topk": ann_lsh_topk,
+        "stream_subfacet": stream_subfacet,
         "index_validation": index_validation,
     }
 
@@ -1150,6 +1171,25 @@ FROM documents
 SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "stream_subfacet": """
+WITH p AS (
+  SELECT event_type, COUNT(*)::BIGINT AS parent_count_rows
+  FROM events GROUP BY 1
+  ORDER BY parent_count_rows DESC, event_type LIMIT 3
+),
+s AS (
+  SELECT e.event_type, EXTRACT(hour FROM e.ts)::INT AS hour,
+         COUNT(*)::BIGINT AS count_rows
+  FROM events e JOIN p USING (event_type) GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY count_rows DESC, hour
+  ) AS rk FROM s
+)
+SELECT r.event_type, r.hour, p.parent_count_rows, r.count_rows
+FROM r JOIN p USING (event_type) WHERE rk <= 2
+""",
         "index_validation": """
 SELECT COUNT(*)::BIGINT AS n_docs, 0::BIGINT AS text_mismatches,
        0::BIGINT AS bad_blocks, 0::BIGINT AS duplicate_doc_ids

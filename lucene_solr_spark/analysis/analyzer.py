@@ -85,6 +85,52 @@ def analyze_detailed(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+def analyze_batch(texts):
+    """Vectorized full chain over a BATCH of texts — the build kernels'
+    hot path (VERDICT r1 item 8: the per-token Python loop was the
+    build's CPU ceiling).
+
+    One C regex pass per text, then pandas/numpy for the filter chain:
+    lowercase (pandas .str.lower, C loop), 255-drop (vectorized length),
+    stopword mask (hash-table isin).  The position of each surviving
+    token is its RAW token index, because every dropped token advances
+    the next survivor's increment by exactly one (the skippedPositions
+    discipline, StandardTokenizer.java:178-188 +
+    FilteringTokenFilter.java:49-63) — so positions need no scan at all.
+
+    Returns (terms object-ndarray, doc_idx int64, positions int64,
+    dls int64-per-doc); semantically identical to analyze_detailed per
+    doc (locked by tests/test_analyzer.py batch-parity).
+    """
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    toks_per = [_TOKEN_RE.findall(t or "") for t in texts]
+    counts = np.fromiter(
+        (len(x) for x in toks_per), dtype=np.int64, count=len(toks_per)
+    )
+    total = int(counts.sum())
+    n = len(texts)
+    if total == 0:
+        return (
+            np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64),
+        )
+    flat = pd.Series(
+        list(itertools.chain.from_iterable(toks_per)), dtype=object
+    )
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    raw_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    lens = flat.str.len().to_numpy()
+    low = flat.str.lower()
+    keep = (lens <= MAX_TOKEN_LENGTH) & ~low.isin(ENGLISH_STOP_WORDS).to_numpy()
+    dls = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+    return low.to_numpy()[keep], doc_idx[keep], raw_pos[keep], dls
+
+
 def analyze_query_terms(query_text: str) -> list[str]:
     """Analyze one query atom (QueryParser runs the field analyzer on
     query text; stopwords vanish — the all-stopword query matches nothing)."""

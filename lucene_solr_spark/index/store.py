@@ -82,6 +82,21 @@ def stage_committed(index_dir: str, stage: str) -> bool:
     return stage in read_manifest(index_dir)["committed"]
 
 
+def record_batch(index_dir: str, batch_id: int) -> None:
+    """Record a streaming batch as applied (idempotent-sink ledger; see
+    streaming/nrt.py).  Appends record it atomically with the segment
+    publish inside append_segment; this helper covers the bootstrap."""
+    with _MANIFEST_LOCK:
+        m = read_manifest(index_dir)
+        m["applied_batches"] = sorted(
+            set(m.get("applied_batches", [])) | {int(batch_id)}
+        )
+        tmp = manifest_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, manifest_path(index_dir))
+
+
 def set_params(index_dir: str, params: dict) -> None:
     m = read_manifest(index_dir)
     m["params"].update(params)

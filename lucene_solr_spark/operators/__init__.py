@@ -5,5 +5,5 @@ large-scale training-data pipeline needs)."""
 
 from .streams import (  # noqa: F401
     complement, facet, fetch, group_topk, hash_join, having, inner_join,
-    intersect, merge, rank, rollup, select, stats, unique,
+    intersect, merge, rank, rollup, select, stats, subfacet, unique,
 )

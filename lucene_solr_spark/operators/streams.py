@@ -136,6 +136,47 @@ def facet(df: DataFrame, by: Sequence[str], metrics: dict[str, Sequence[str]],
     return df.groupBy(*by).agg(*_metric_cols(metrics)).orderBy(*sort).limit(limit)
 
 
+def subfacet(df: DataFrame, by: str, sub: str,
+             metrics: dict[str, Sequence[str]], limit: int, sub_limit: int,
+             sort: Sequence | None = None,
+             sub_sort: Sequence | None = None) -> DataFrame:
+    """Nested JSON facet (solr/core/.../search/facet/
+    FacetFieldProcessor*.java + FacetFieldMerger): top-`limit` buckets of
+    `by`, each refined with its top-`sub_limit` buckets of `sub`.
+
+    Spark-first shape: TWO grouped aggregations, not per-parent queries —
+    parents via partial/final agg + TakeOrdered, children via one
+    (by, sub) agg semi-joined to the surviving parents (broadcast: the
+    parent list is <= `limit` rows) and window-ranked within each parent.
+    At 100 TB this is two shuffles total, independent of `limit`.
+
+    Returns a flat DataFrame (by, sub, parent_<metric>..., <metric>...)
+    — the flattened form of the reference's nested bucket JSON."""
+    psort = sort if sort is not None else [F.desc("count_rows"), F.asc(by)]
+    parents = facet(df, [by], metrics, psort, limit)
+    pm = parents.select(
+        by, *[
+            F.col(c).alias(f"parent_{c}")
+            for c in parents.columns if c != by
+        ]
+    )
+    children = (
+        df.join(F.broadcast(parents.select(by)), [by], "left_semi")
+        .groupBy(by, sub)
+        .agg(*_metric_cols(metrics))
+    )
+    csort = sub_sort if sub_sort is not None else [
+        F.desc("count_rows"), F.asc(sub)
+    ]
+    w = Window.partitionBy(by).orderBy(*csort)
+    sub_top = (
+        children.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= sub_limit)
+        .drop("_rk")
+    )
+    return sub_top.join(F.broadcast(pm), [by])
+
+
 def group_topk(df: DataFrame, group: Sequence[str], order: Sequence,
                k: int) -> DataFrame:
     """Grouping module two-pass group-top-k

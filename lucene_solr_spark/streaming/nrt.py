@@ -11,8 +11,15 @@ becomes ONE new immutable segment appended with
 stats, manifest publish), and a reopened LocalSearcher sees it — the
 segments_N reopen discipline.
 
-Source offsets + the Spark checkpoint directory give exactly-once
-segment appends across restarts (the TopicStream checkpoint analogue).
+Delivery semantics: foreachBatch is AT-LEAST-ONCE, so the sink must be
+idempotent per batch_id to give effectively-once segment appends.  The
+manifest records every applied batch_id in the SAME atomic write that
+publishes the segment (`applied_batches`); a replayed batch — crash
+after the append but before the Spark checkpoint commit — is detected
+and skipped.  The bootstrap-vs-append decision is likewise gated on
+that record (not on stage-commit state), so a replay over a PARTIALLY
+committed bootstrap resumes the same batch's build instead of treating
+the next batch as the bootstrap.
 """
 
 from __future__ import annotations
@@ -24,15 +31,37 @@ from ..index.builder import BuildConfig, append_segment, build_index
 
 
 def index_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
-                cfg: BuildConfig | None = None) -> None:
-    """Index one micro-batch: first batch bootstraps the index (segment
-    0), later batches append segments.  Empty batches are skipped."""
+                cfg: BuildConfig | None = None,
+                batch_id: int | None = None) -> None:
+    """Index one micro-batch idempotently.
+
+    - batch_id already recorded in the manifest -> no-op (replay).
+    - no batch ever recorded -> this is the bootstrap batch: (re)run the
+      staged build (resume=True picks up a partially committed prior
+      attempt of the SAME batch — stages are deterministic functions of
+      the batch).
+    - otherwise -> append one new segment, recording batch_id atomically
+      with the segment publish.
+
+    Empty batches are skipped without recording (nothing to replay).
+    """
     if not batch_df.take(1):
         return
-    if not store.stage_committed(index_dir, "lineage"):
-        build_index(spark, batch_df, index_dir, cfg)
+    m = store.read_manifest(index_dir)
+    applied = m.get("applied_batches", [])
+    if batch_id is not None and int(batch_id) in applied:
+        return  # replayed batch: the segment is already published
+    if applied or (batch_id is None
+                   and store.stage_committed(index_dir, "lineage")):
+        append_segment(spark, batch_df, index_dir, cfg, batch_id=batch_id)
     else:
-        append_segment(spark, batch_df, index_dir, cfg)
+        # bootstrap — or a REPLAY of the bootstrap batch whose record
+        # didn't land: resume=True re-runs only uncommitted stages (a
+        # fully built index makes this a no-op), so the replay can never
+        # append the bootstrap's rows as a duplicate segment
+        build_index(spark, batch_df, index_dir, cfg)
+        if batch_id is not None:
+            store.record_batch(index_dir, int(batch_id))
 
 
 def start_incremental_indexing(spark: SparkSession, stream_df: DataFrame,
@@ -45,7 +74,7 @@ def start_incremental_indexing(spark: SparkSession, stream_df: DataFrame,
     it runs continuously."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        index_batch(spark, batch_df, index_dir, cfg)
+        index_batch(spark, batch_df, index_dir, cfg, batch_id=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle)

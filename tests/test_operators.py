@@ -1,0 +1,92 @@
+"""Training-data / streaming-expression operators added in r2:
+ANN buckets at rest (partition-pruned scan, multi-probe recall) and
+nested subfacets."""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def test_ann_at_rest_equals_adhoc(spark, embeddings, tmp_path):
+    """bucketize() + at-rest query == the ad-hoc computed-bucket query
+    (same buckets, same ranking), and the physical plan prunes
+    partitions instead of scanning every vector."""
+    from lucene_solr_spark.operators.ann import (
+        bucketize, lsh_ann_topk, lsh_ann_topk_at_rest,
+    )
+
+    bdir = str(tmp_path / "buckets")
+    bucketize(embeddings, bdir, nbits=4)
+    q = [float(x) for x in
+         embeddings.filter("vec_id = 0").select("embedding").head()[0]]
+    at_rest = lsh_ann_topk_at_rest(
+        spark, bdir, q, nbits=4, k=10, exclude_key=0
+    )
+    adhoc = lsh_ann_topk(embeddings, q, nbits=4, k=10, exclude_key=0)
+    assert at_rest.collect() == adhoc.collect()
+    plan = at_rest._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert any(
+        "PartitionFilters" in ln and "bucket" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_ann_multi_probe_recall(spark, embeddings, tmp_path):
+    """Multi-probe (1-bit flips) never loses single-probe results and
+    improves (or matches) recall against the exact brute-force top-k."""
+    from lucene_solr_spark.operators.ann import (
+        bucketize, cosine_topk, lsh_ann_topk_at_rest,
+    )
+
+    bdir = str(tmp_path / "buckets")
+    bucketize(embeddings, bdir, nbits=4)
+    q = [float(x) for x in
+         embeddings.filter("vec_id = 7").select("embedding").head()[0]]
+    exact = {r["vec_id"] for r in
+             cosine_topk(embeddings, q, k=10, exclude_key=7).collect()}
+    single = {r["vec_id"] for r in lsh_ann_topk_at_rest(
+        spark, bdir, q, nbits=4, k=10, exclude_key=7).collect()}
+    multi = {r["vec_id"] for r in lsh_ann_topk_at_rest(
+        spark, bdir, q, nbits=4, k=10, exclude_key=7,
+        multi_probe=1).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) == 10  # enough candidates across probed buckets
+
+
+def test_subfacet_matches_pandas(spark):
+    """Nested facet == a pandas two-level group-top-k on the same data."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.operators import subfacet
+
+    e = spark.read.parquet(os.path.join(SF, "events.parquet")).withColumn(
+        "hour", F.hour("ts")
+    )
+    got = {
+        (r["event_type"], r["hour"]): (r["parent_count_rows"], r["count_rows"])
+        for r in subfacet(
+            e, "event_type", "hour", {"count": []}, limit=3, sub_limit=2
+        ).collect()
+    }
+    pdf = e.select("event_type", "hour").toPandas()
+    pc = pdf["event_type"].value_counts()
+    parents = sorted(pc.items(), key=lambda x: (-x[1], x[0]))[:3]
+    want = {}
+    for p, pcnt in parents:
+        sub = pdf[pdf["event_type"] == p]["hour"].value_counts()
+        for h, c in sorted(sub.items(), key=lambda x: (-x[1], x[0]))[:2]:
+            want[(p, int(h))] = (int(pcnt), int(c))
+    assert got == want

@@ -151,3 +151,34 @@ def test_compaction_equivalence(spark, tmp_path):
     for q in ["retry AND deploy", "cache", "ba*", '"fix test flake"',
               "bakeka OR dupa OR cache", "retry -deploy"]:
         assert s1.search(q, 10) == s2.search(q, 10), q
+
+
+def test_index_batch_idempotent_per_batch_id(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-applied
+    batch_id (crash after the segment publish, before the Spark
+    checkpoint commit) must be a no-op — no duplicate segment, stats
+    unchanged (the applied_batches manifest ledger)."""
+    from lucene_solr_spark.streaming.nrt import index_batch
+
+    idx = str(tmp_path / "idem")
+    b0 = gen_transcripts_df(spark, n_convs=6, seed=21)
+    b1 = gen_transcripts_df(spark, n_convs=4, seed=22)
+    cfg = BuildConfig(n_buckets=2)
+    index_batch(spark, b0, idx, cfg, batch_id=0)
+    index_batch(spark, b1, idx, cfg, batch_id=1)
+    fs_before = read_field_stats(idx)
+    segs_before = sorted(os.listdir(os.path.join(idx, "postings")))
+    # replay both batches (at-least-once delivery)
+    index_batch(spark, b0, idx, cfg, batch_id=0)
+    index_batch(spark, b1, idx, cfg, batch_id=1)
+    assert read_field_stats(idx) == fs_before
+    assert sorted(os.listdir(os.path.join(idx, "postings"))) == segs_before
+    # a replayed bootstrap whose ledger record was lost resumes the
+    # build (no-op) instead of appending a duplicate segment
+    from lucene_solr_spark.index import store
+
+    m = store.read_manifest(idx)
+    m["applied_batches"] = [1]  # simulate: batch 0's record lost
+    store.write_manifest(idx, m)
+    index_batch(spark, b1, idx, cfg, batch_id=1)  # 1 recorded -> skip
+    assert read_field_stats(idx) == fs_before
