@@ -642,6 +642,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, bdir, [float(x) for x in q], nbits=4, k=10, exclude_key=0
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
+    def ann_ivf_topk(spark, sf):
+        # IVF-Flat scale path: coarse cells persisted as partitions,
+        # nprobe=2 nearest cells scanned.  The gate uses vec_ids 1..8 as
+        # the coarse centroids so the DuckDB twin can recompute the
+        # assignment from the table itself (production uses
+        # kmeans_centroids on a sample — same structure, better cells).
+        from lucene_solr_spark.operators.ann import (
+            ivf_ann_topk, ivf_bucketize,
+        )
+
+        e = _tbl(spark, sf, "embeddings")
+        cent = np.array(
+            [r["embedding"] for r in
+             e.filter("vec_id BETWEEN 1 AND 8").orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        bdir = os.path.join(_GATE_ROOT, f"{tag}_ivfbuckets")
+        if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            ivf_bucketize(e, bdir, cent)
+        q = (
+            e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        )
+        return ivf_ann_topk(
+            spark, bdir, [float(x) for x in q], cent, k=10, nprobe=2,
+            exclude_key=0,
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
     def stream_subfacet(spark, sf):
         # nested JSON facet: top event types, each with its top hours
         from lucene_solr_spark.operators import subfacet
@@ -697,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_features": text_features_q,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "stream_subfacet": stream_subfacet,
         "index_validation": index_validation,
     }
@@ -1171,6 +1200,52 @@ FROM documents
 SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cid, embedding AS ce,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.ce),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / c.cn
+           AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+qsims AS (
+  SELECT c.cid,
+         list_sum(list_transform(list_zip(q.qe, c.ce),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / c.cn
+           AS sim
+  FROM cents c, q
+),
+probes AS (SELECT cid FROM qsims ORDER BY sim DESC, cid LIMIT 2),
+sc AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS raw
+  FROM embeddings e
+  JOIN assign a USING (vec_id), q
+  WHERE a.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0
+)
+SELECT vec_id, ROUND(raw, 4) AS cosine FROM sc
+ORDER BY raw DESC, vec_id LIMIT 10
+""",
         "stream_subfacet": """
 WITH p AS (
   SELECT event_type, COUNT(*)::BIGINT AS parent_count_rows

@@ -38,7 +38,10 @@ LOW_CORES = int(os.environ.get("SPARK_GRAFT_LOW_CORES", "2"))
 HIGH_CORES = int(os.environ.get("SPARK_GRAFT_HIGH_CORES", "8"))
 #: corpus for the scaling pair: big enough that parallel work dominates
 #: fixed per-build overhead (JVM job scheduling, range-sample job,
-#: parquet commit protocol) — at 3M turns the 2-core build is ~95% compute
+#: parquet commit protocol) — at 3M turns the 2-core build is ~95%
+#: compute.  The host's noisy-neighbor variance (capacity probes on the
+#: SAME day differ by ~25%) dwarfs any corpus-size effect, so the noise
+#: answer is repeats+min (below), not a bigger corpus.
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "3000000"))
 
 _TURNS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -194,10 +197,14 @@ def main() -> None:
         materialize_corpus(max(1, round(SCALE_TURNS / _TURNS_PER_CONV)),
                            sc_corpus)
         # best-of-N per level, ABBA interleaved: this host is a shared VM
-        # with noisy-neighbor variance, so a single sample per level can
-        # swing the ratio by +-0.1; min-time per level is the standard
-        # noise-robust estimator and is symmetric across levels
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        # with noisy-neighbor variance (identical builds measured 339s
+        # and 396s back-to-back; capacity probes differ ~25% between
+        # windows), so a single sample per level can swing the ratio by
+        # +-0.15; min-time per level is the standard noise-robust
+        # estimator (noise only ever ADDS time) and is symmetric across
+        # levels — three repeats give each level three windows to catch
+        # a clean run
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
         hi_secs, lo_secs, sc_n = [], [], 0
         for _ in range(repeats):
             sc_hi_dir = os.path.join(work, f"idx_scale_c{HIGH_CORES}")

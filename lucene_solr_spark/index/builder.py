@@ -825,7 +825,8 @@ def append_segment(spark: SparkSession, transcripts: DataFrame,
 
 
 def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
-                           salt_df_threshold: int, salt_target: int):
+                           salt_df_threshold: int, salt_target: int,
+                           deleted: np.ndarray | None = None):
     """applyInPandas kernel over ALL of one term's blocks (every segment,
     every salt): decode, globally re-sort, RE-SALT against the compacted
     doc range, re-encode.  Re-salting is required because per-segment
@@ -860,6 +861,24 @@ def _compact_group_factory(n_buckets: int, positions: bool, max_doc: int,
         docs, tfs, norms = docs[order], tfs[order], norms[order]
         if has_pos:
             p_parts = [p_parts[j] for j in order]
+        if deleted is not None and deleted.size:
+            # compaction applies tombstones permanently (the reference's
+            # merge-applies-deletes discipline)
+            idx_ = np.searchsorted(deleted, docs)
+            idx_[idx_ == deleted.size] = deleted.size - 1
+            live = deleted[idx_] != docs
+            docs, tfs, norms = docs[live], tfs[live], norms[live]
+            if has_pos:
+                p_parts = [p for p, lv in zip(p_parts, live) if lv]
+            if docs.size == 0:
+                return pd.DataFrame(
+                    columns=[
+                        "field", "term", "salt", "block_id", "kind",
+                        "first_doc", "last_doc", "doc_count", "sum_tf",
+                        "payload", "norms_payload", "pos_payload", "max_tf",
+                        "min_ntab", "bucket",
+                    ]
+                )
         n_salt = (
             int(np.ceil(docs.size / salt_target))
             if docs.size > salt_df_threshold else 1
@@ -934,12 +953,49 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
          "salt_df_threshold": cfg.salt_df_threshold,
          "positions": cfg.positions, "schema_version": 2},
     )
+    from .deletes import read_deleted
+
+    deleted = read_deleted(index_dir)
     all_fs = read_all_field_stats(index_dir)
     max_doc = max((v["max_doc"] for v in all_fs.values()), default=0)
-    # consolidated docmap (docIDs unchanged)
-    spark.read.parquet(os.path.join(index_dir, "docmap")).drop("seg").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "docmap", "seg=0"))
+    # consolidated docmap (docIDs unchanged; tombstoned rows dropped —
+    # compaction applies deletes permanently, like a Lucene merge)
+    live_docmap = spark.read.parquet(
+        os.path.join(index_dir, "docmap")
+    ).drop("seg")
+    if deleted.size:
+        del_df = spark.createDataFrame(
+            [(int(d),) for d in deleted], "doc_id long"
+        )
+        live_docmap = live_docmap.join(
+            F.broadcast(del_df), "doc_id", "left_anti"
+        )
+    live_docmap.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docmap", "seg=0")
+    )
+    if deleted.size:
+        # stats must reflect the surviving docs (a merge recomputes
+        # per-segment stats); max_doc stays the docID-space bound since
+        # docIDs are preserved
+        agg = spark.read.parquet(
+            os.path.join(out_dir, "docmap", "seg=0")
+        ).agg(
+            F.sum((F.col("dl") > 0).cast("long")).alias("nonempty"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum(F.col(kf).isNotNull().cast("long")).alias(f"n_{kf}")
+                for kf in KEYWORD_FIELDS
+            ],
+        ).collect()[0]
+        all_fs = {
+            "text": {
+                "doc_count": int(agg["nonempty"] or 0),
+                "sum_total_term_freq": int(agg["sum_dl"] or 0),
+            },
+        }
+        for kf in KEYWORD_FIELDS:
+            n_kf = int(agg[f"n_{kf}"] or 0)
+            all_fs[kf] = {"doc_count": n_kf, "sum_total_term_freq": n_kf}
     fs_dir = os.path.join(out_dir, "field_stats", "seg=0")
     os.makedirs(fs_dir, exist_ok=True)
     pq.write_table(
@@ -964,6 +1020,7 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
     merge = _compact_group_factory(
         cfg.n_buckets, cfg.positions, max_doc,
         cfg.salt_df_threshold, cfg.salt_target,
+        deleted=deleted,
     )
     (
         blocks.groupBy("field", "term").applyInPandas(merge, POSTINGS_SCHEMA)

@@ -18,6 +18,9 @@ snapshot/manifest discipline over parquet directories):
                    — the reader's sort key is (seg, salt, block_id),
                    which is global doc order (segments are docBase-
                    ordered, salts doc-range-ordered within a segment)
+    deletes/       del-<epoch>.parquet (doc_id) — append-only tombstones
+                   (liveDocs / Iceberg-delete-file analogue, masked at
+                   collection; compaction applies them permanently)
     lineage/       segment_id, stage, term_range_lo, term_range_hi,
                    doc_count, bytes, status, detail
     _manifest.json snapshot of committed stages (segments_N analogue,

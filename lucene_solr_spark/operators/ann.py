@@ -152,6 +152,85 @@ def lsh_ann_topk_at_rest(spark, bucket_dir: str, query: list[float],
     )
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 11) -> np.ndarray:
+    """Deterministic spherical Lloyd k-means on a driver-side sample —
+    the production coarse quantizer for ivf_bucketize (a bounded sample
+    suffices: centroids are a partitioning decision, not a statistic,
+    same discipline as hot-term salting)."""
+    rng = np.random.default_rng(np.random.Philox(key=seed))
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_bucketize(vectors: DataFrame, out_dir: str, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> None:
+    """IVF write path: every vector is assigned to its nearest coarse
+    centroid (argmax cosine, ties to the lowest index) and persisted
+    hive-partitioned by that cell — at 100 TB a query scans only its
+    nprobe cells (PartitionFilters), the inverted-file structure of
+    IVF-Flat.  Assignment runs as one Arrow-batched matmul per batch."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    # fresh StructType — StructType.add mutates in place, which would
+    # corrupt the source DataFrame's schema
+    schema = StructType(
+        list(vectors.schema.fields) + [StructField("bucket", StringType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a = np.argmax(M @ C.T, axis=1)
+            out = pdf.copy()
+            out["bucket"] = [f"c{int(j)}" for j in a]
+            yield out
+
+    (
+        vectors.mapInPandas(assign, schema)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def ivf_ann_topk(spark, bucket_dir: str, query: list[float],
+                 centroids: np.ndarray, k: int = 10, nprobe: int = 1,
+                 vec_col: str = "embedding", key_col: str = "vec_id",
+                 exclude_key: int | None = None) -> DataFrame:
+    """IVF query: probe the `nprobe` centroid cells nearest the query
+    (driver-side argsort over k centroid sims), partition-prune the scan
+    to those cells, exact cosine rank inside them."""
+    q = np.asarray(query, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(C @ q), kind="stable")
+    probes = [f"c{int(j)}" for j in order[:nprobe]]
+    df = spark.read.parquet(bucket_dir).filter(F.col("bucket").isin(probes))
+    if exclude_key is not None:
+        df = df.filter(F.col(key_col) != exclude_key)
+    qn = float(np.sqrt((q * q).sum()))
+    return (
+        df.withColumn(
+            "cosine", _dot_lit(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+        )
+        .orderBy(F.desc("cosine"), F.asc(key_col))
+        .limit(k)
+        .select(key_col, "cosine")
+    )
+
+
 def lsh_ann_topk(vectors: DataFrame, query: list[float], nbits: int = 4,
                  k: int = 10, seed: int = 7, vec_col: str = "embedding",
                  key_col: str = "vec_id",

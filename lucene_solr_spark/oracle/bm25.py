@@ -342,12 +342,25 @@ class LuceneOracle:
             return ("filter0", self.rewrite(node[1]))
         return node
 
+    def delete(self, doc_ids) -> "LuceneOracle":
+        """Tombstone docs (liveDocs): masked at collection, stats and
+        scores unchanged — the reference's pre-merge delete semantics."""
+        cur = getattr(self, "deleted", np.empty(0, dtype=np.int64))
+        self.deleted = np.unique(
+            np.concatenate([cur, np.asarray(list(doc_ids), dtype=np.int64)])
+        )
+        return self
+
     def search(self, node: QueryNode, k: int = 10) -> list[tuple[int, float]]:
         """Top-k (doc_id, float32 score), tie-break score desc / docID asc."""
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
             return []
         docs, scores = self._eval(node)
+        deleted = getattr(self, "deleted", None)
+        if deleted is not None and deleted.size and docs.size:
+            keep = ~np.isin(docs, deleted, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores.astype(np.float64)))[:k]

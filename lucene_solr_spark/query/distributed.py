@@ -69,6 +69,21 @@ class DistributedSearcher:
     def _text_stats(self) -> DataFrame:
         return self._term_stats.filter(F.col("field") == "text")
 
+    def _live(self, plan: DataFrame) -> DataFrame:
+        """Mask tombstoned docs (liveDocs at collection time): a
+        broadcast anti-join against the deletes table, applied once at
+        the top of the plan — scores/stats unchanged until compaction,
+        exactly the reference's pre-merge delete semantics."""
+        from ..index.deletes import read_deleted
+
+        deleted = read_deleted(self.index_dir)
+        if deleted.size == 0:
+            return plan
+        del_df = self.spark.createDataFrame(
+            [(int(d),) for d in deleted], "doc_id long"
+        )
+        return plan.join(F.broadcast(del_df), "doc_id", "left_anti")
+
     def _pruned_postings(self, terms: list[str], cols: list[str],
                          field: str = "text") -> DataFrame:
         """Posting-block scan for the given terms of one field: bucket
@@ -646,7 +661,7 @@ class DistributedSearcher:
             )
         terms = _terms_of(node)
         scored = self._scored_terms_df(terms)
-        plan = self._plan(node, scored, [0])
+        plan = self._live(self._plan(node, scored, [0]))
         return (
             plan.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -668,7 +683,7 @@ class DistributedSearcher:
         if node is None or node[0] == "matchnone":
             return self.spark.createDataFrame([], "doc_id long")
         scored = self._scored_terms_df(_terms_of(node))
-        return self._plan(node, scored, [0]).select("doc_id")
+        return self._live(self._plan(node, scored, [0])).select("doc_id")
 
     def search_conversations(self, query, k: int = 10,
                              mode: str = "max") -> DataFrame:
@@ -687,7 +702,9 @@ class DistributedSearcher:
             )
         terms = _terms_of(node)
         scored = self._scored_terms_df(terms)
-        plan = self._plan(node, scored, [0]).select("doc_id", "score")
+        plan = self._live(
+            self._plan(node, scored, [0])
+        ).select("doc_id", "score")
         docmap = self.spark.read.parquet(
             os.path.join(self.index_dir, "docmap")
         ).select("doc_id", "conv_id")

@@ -166,6 +166,12 @@ class LocalSearcher:
         )
         #: decoded posting lists keyed (field, term)
         self._term_cache: dict[tuple[str, str], _TermPostings] = {}
+        from ..index.deletes import read_deleted
+
+        #: tombstoned docIDs, masked at collection like liveDocs (scores
+        #: and stats unchanged until compaction — the reference's
+        #: pre-merge delete semantics)
+        self._deleted = read_deleted(index_dir)
 
     # ------------------------------------------------------------ fetch
     def _tp(self, term: str, field: str = "text") -> _TermPostings:
@@ -618,15 +624,20 @@ class LocalSearcher:
         return wv * mt / (mt + c) * (1.0 + 1e-6)
 
     def _masked_kth(self, docs_list, scores_list, k, after) -> float:
-        """theta = k-th best CURSOR-PASSING score so far.  With a
-        searchAfter cursor only docs strictly after it compete for the
-        page, so the pruning threshold must ignore pre-cursor docs
-        (TopScoreDocCollector paging discipline,
-        search/IndexSearcher.java:411-446)."""
+        """theta = k-th best COLLECTABLE score so far: cursor-passing
+        (searchAfter pages compete only past the cursor,
+        search/IndexSearcher.java:411-446) and live (deleted docs never
+        enter the collector, like liveDocs).  A theta seeded from a
+        non-collectable doc would over-prune real results."""
         scs = np.concatenate(scores_list)
-        if after is not None:
+        if after is not None or self._deleted.size:
             docs = np.concatenate(docs_list)
-            scs = scs[_cursor_mask(docs, scs, after)]
+            keep = np.ones(docs.size, dtype=bool)
+            if self._deleted.size:
+                keep &= ~_sorted_isin(docs, self._deleted)
+            if after is not None:
+                keep &= _cursor_mask(docs, scs, after)
+            scs = scs[keep]
         return _kth_best(scs, k)
 
     def _search_term_pruned(self, term: str, k: int, after=None
@@ -756,7 +767,8 @@ class LocalSearcher:
                 )
         else:
             docs, scores = self._eval(node)
-        return _topk_hits(docs, scores, k, after=after)
+        return _topk_hits(docs, scores, k, after=after,
+                          deleted=self._deleted)
 
 
 def _kth_best(scores: np.ndarray, k: int) -> float:
@@ -785,12 +797,17 @@ def _cursor_mask(docs: np.ndarray, scores: np.ndarray,
 
 
 def _topk_hits(docs: np.ndarray, scores: np.ndarray,
-               k: int | None, after=None) -> list[tuple[int, float]]:
+               k: int | None, after=None,
+               deleted: np.ndarray | None = None) -> list[tuple[int, float]]:
     """(score desc, docID asc) top-k without a full sort: partition on
     the k-th score, lexsort only the surviving candidates (incl. ties at
     the threshold so the docID tie-break is exact —
     HitQueue.java:76-81).  `after` filters to docs strictly after the
-    cursor before selection (searchAfter)."""
+    cursor before selection (searchAfter); `deleted` masks tombstoned
+    docs (liveDocs at collection time)."""
+    if deleted is not None and deleted.size and docs.size:
+        keep = ~_sorted_isin(docs, deleted)
+        docs, scores = docs[keep], scores[keep]
     if after is not None and docs.size:
         keep = _cursor_mask(docs, scores, after)
         docs, scores = docs[keep], scores[keep]

@@ -90,3 +90,40 @@ def test_subfacet_matches_pandas(spark):
         for h, c in sorted(sub.items(), key=lambda x: (-x[1], x[0]))[:2]:
             want[(p, int(h))] = (int(pcnt), int(c))
     assert got == want
+
+
+def test_ivf_ann(spark, embeddings, tmp_path):
+    """IVF-Flat: k-means cells persist as partitions; probing more cells
+    is monotone in recall; the scan prunes to the probed cells."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.ann import (
+        cosine_topk, ivf_ann_topk, ivf_bucketize, kmeans_centroids,
+    )
+
+    sample = np.array(
+        [r["embedding"] for r in embeddings.limit(400).collect()],
+        dtype=np.float64,
+    )
+    C = kmeans_centroids(sample, k=8)
+    bdir = str(tmp_path / "ivf")
+    ivf_bucketize(embeddings, bdir, C)
+    q = [float(x) for x in
+         embeddings.filter("vec_id = 3").select("embedding").head()[0]]
+    exact = {r["vec_id"] for r in
+             cosine_topk(embeddings, q, k=10, exclude_key=3).collect()}
+    got1 = ivf_ann_topk(spark, bdir, q, C, k=10, nprobe=1, exclude_key=3)
+    got4 = ivf_ann_topk(spark, bdir, q, C, k=10, nprobe=4, exclude_key=3)
+    r1 = {r["vec_id"] for r in got1.collect()}
+    r4 = {r["vec_id"] for r in got4.collect()}
+    assert len(r4 & exact) >= len(r1 & exact)
+    assert len(r4 & exact) >= 5  # 4 of 8 cells recover most neighbors
+    plan = got1._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert any(
+        "PartitionFilters" in ln and "bucket" in ln
+        for ln in plan.splitlines()
+    ), plan
