@@ -291,8 +291,9 @@ def _write_baseline_md(out: dict) -> None:
         "queries, k=10), warm serving path, median of 3 runs per query.",
     ]
     if s:
-        cap = s["capacity_probe_iters"]
+        cap = {int(k): v for k, v in s["capacity_probe_iters"].items()}
         cap_s = ", ".join(f"{k} procs -> {v}" for k, v in sorted(cap.items()))
+        eff_cores = 2 * cap.get(32, 0) / max(cap.get(2, 1), 1)
         lines += [
             "",
             f"## Why the scaling pair is {s['low_cores']} -> "
@@ -300,14 +301,18 @@ def _write_baseline_md(out: dict) -> None:
             "",
             "A Spark-free multiprocessing probe (3s of vectorized numpy per "
             f"process) measures aggregate host throughput: {cap_s} "
-            "iterations.  Throughput saturates well below the advertised "
-            "32 vCPUs (the host delivers ~16 cores of real CPU; 32 "
-            "processes add no aggregate capacity over 16), so both levels "
-            "of the N -> 4N pair must sit inside that real budget for the "
-            "comparison to measure the ENGINE's scaling rather than host "
-            f"saturation — hence local[{s['low_cores']}] -> "
+            "iterations — this window the host delivered ~"
+            f"{eff_cores:.0f} effective cores of the advertised 32 vCPUs "
+            "(the shared VM's effective capacity varies between ~16 and "
+            "~23 cores across same-day probe windows).  Both levels of "
+            "the N -> 4N pair must sit inside the WORST-CASE real budget "
+            "for the comparison to measure the ENGINE's scaling rather "
+            f"than host saturation — hence local[{s['low_cores']}] -> "
             f"local[{s['high_cores']}].  local[32] numbers measure "
-            "oversubscription, not scaling.",
+            "oversubscription, not scaling.  Per-level times are "
+            "best-of-3 ABBA-interleaved repeats (noise only ever adds "
+            "time; the spread across identical runs is visible in the "
+            "runs_sec lists of BENCH_r JSON).",
         ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
