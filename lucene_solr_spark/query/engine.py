@@ -215,10 +215,21 @@ class LocalSearcher:
         return (wv * freq / (freq + self.cache[norms])).astype(np.float32)
 
     def _term_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        # full-list scores are a pure function of the searcher's fixed
+        # global stats — cache them (the hot-postings-in-page-cache
+        # trade; ~12 B/posting on top of the decoded blocks)
+        got = getattr(self, "_fullscore_cache", None)
+        if got is None:
+            got = self._fullscore_cache = {}
+        hit = got.get(term)
+        if hit is not None:
+            return hit
         tp = self._tp(term)
         docs, tfs, norms = tp.decode_all()
         wv = self._weight_value(tp.n_docs)
-        return docs, self._score_arrays(tfs, norms, wv)
+        out = (docs, self._score_arrays(tfs, norms, wv))
+        got[term] = out
+        return out
 
     def _term_lookup(self, term: str, candidates: np.ndarray
                      ) -> tuple[np.ndarray, np.ndarray]:
@@ -306,6 +317,29 @@ class LocalSearcher:
         for c in (node[2] if kind == "msm_or" else node[1]):
             out.extend(self._collect_terms(c))
         return out
+
+    def _cost_of(self, node) -> int:
+        """Upper-bound match count of a node (the Weight.cost() analogue,
+        search/Weight.java) — drives the dense-vs-leapfrog AND choice."""
+        kind = node[0]
+        if kind == "term":
+            return self._tp(node[1]).n_docs
+        if kind == "fterm":
+            return self._tp(node[2], node[1]).n_docs
+        if kind == "const_or":
+            return sum(self._tp(t).n_docs for t in node[1])
+        if kind == "matchnone":
+            return 0
+        if kind in ("tsrange", "filter0"):
+            return self.max_doc
+        if kind in ("andnot", "reqopt", "reqfilter", "boost"):
+            return self._cost_of(node[1])
+        if kind == "phrase":
+            return min(self._tp(t).n_docs for t, _ in node[1])
+        if kind == "and":
+            return min(self._cost_of(c) for c in node[1])
+        children = node[2] if kind == "msm_or" else node[1]
+        return sum(self._cost_of(c) for c in children)
 
     def _docs_of(self, node) -> np.ndarray:
         """Matching docIDs only (no scores) — the FILTER / MUST_NOT path
@@ -515,22 +549,7 @@ class LocalSearcher:
             # (search/MinShouldMatchSumScorer.java, BooleanQuery.java:77-96)
             n = node[1]
             parts = [self._eval(c) for c in node[2]]
-            all_docs = (
-                np.concatenate([p[0] for p in parts]) if parts
-                else np.empty(0, np.int64)
-            )
-            if all_docs.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float32)
-            docs = np.unique(all_docs)
-            total = np.zeros(docs.size, dtype=np.float64)
-            cnt = np.zeros(docs.size, dtype=np.int64)
-            for cd, cs in parts:
-                if cd.size:
-                    idx = np.searchsorted(docs, cd)
-                    np.add.at(total, idx, cs.astype(np.float64))
-                    np.add.at(cnt, idx, 1)
-            keep = cnt >= n
-            return docs[keep], total[keep].astype(np.float32)
+            return self._sum_parts(parts, min_match=n)
         if kind == "andnot":
             docs, scores = self._eval(node[1])
             if docs.size == 0:
@@ -552,6 +571,24 @@ class LocalSearcher:
             return rd, total.astype(np.float32)
         children = node[1]
         if kind == "and":
+            # WARM, comparably-sized lists: one dense count+sum pass
+            # over the full child lists beats the leapfrog (no
+            # searchsorted chains) — the windowed-BooleanScorer cost
+            # choice.  When one clause is much rarer than the rest
+            # (min-cost << total) the leapfrog's candidate-driven
+            # lookups touch only O(min df) postings, so it stays the
+            # winner; cold term lists also keep the leapfrog, whose
+            # block-range skipping avoids decoding non-candidate blocks.
+            if self.max_doc + 1 <= self._DENSE_MAX_DOC:
+                tnames = [c[1] for c in children if c[0] == "term"]
+                costs = [self._cost_of(c) for c in children]
+                if (
+                    (not tnames or not self._mostly_undecoded(tnames))
+                    and min(costs) * 4 >= sum(costs)
+                ):
+                    parts = [self._eval(c) for c in children]
+                    return self._sum_parts(parts, min_match=len(children))
+
             # cost order: cheapest df leads (ConjunctionDISI discipline)
             def df_of(n):
                 if n[0] == "term":
@@ -559,29 +596,42 @@ class LocalSearcher:
                 return self.max_doc + 1  # composite: evaluate late
 
             ordered = sorted(range(len(children)), key=lambda i: df_of(children[i]))
-            lead = children[ordered[0]]
+            # intersection pass; per-child contributions computed along
+            # the way are kept and FILTERED to the final candidates in
+            # the scoring pass instead of being recomputed (the scores
+            # of a (term, doc) pair are deterministic, so reuse is exact)
+            pass1: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            lead_i = ordered[0]
+            lead = children[lead_i]
             if lead[0] == "term":
-                docs = self._tp(lead[1])
-                docs_arr, _, _ = docs.decode_all()
-                cand = docs_arr
+                cand = self._tp(lead[1]).decode_all()[0]
             else:
-                cand, _ = self._eval(lead)
+                cand, cs0 = self._eval(lead)
+                pass1[lead_i] = (cand, cs0)
             for i in ordered[1:]:
                 ch = children[i]
                 if cand.size == 0:
                     break
                 if ch[0] == "term":
-                    cd, _ = self._term_lookup(ch[1], cand)
-                    cand = cd
+                    cd, cs = self._term_lookup(ch[1], cand)
                 else:
-                    cd, _ = self._eval(ch)
-                    cand = np.intersect1d(cand, cd, assume_unique=True)
+                    cd, cs = self._eval(ch)
+                    m = _sorted_isin(cd, cand)
+                    cd, cs = cd[m], cs[m]
+                pass1[i] = (cd, cs)
+                cand = cd
             if cand.size == 0:
                 return cand, np.empty(0, np.float32)
             # exact scores in clause order (ConjunctionScorer double sum)
             total = np.zeros(cand.size, dtype=np.float64)
-            for ch in children:
-                if ch[0] == "term":
+            for i, ch in enumerate(children):
+                got = pass1.get(i)
+                if got is not None:
+                    cd, cs = got
+                    if cd.size != cand.size:  # cand ⊆ cd: filter down
+                        m = _sorted_isin(cd, cand)
+                        cd, cs = cd[m], cs[m]
+                elif ch[0] == "term":
                     cd, cs = self._term_lookup(ch[1], cand)
                 else:
                     cd, cs = self._eval(ch)
@@ -592,17 +642,78 @@ class LocalSearcher:
             return cand, total.astype(np.float32)
         if kind == "or":
             parts = [self._eval(c) for c in children]
-            all_docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-            if all_docs.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float32)
-            docs = np.unique(all_docs)
-            total = np.zeros(docs.size, dtype=np.float64)
-            for cd, cs in parts:
-                if cd.size:
-                    idx = np.searchsorted(docs, cd)
-                    np.add.at(total, idx, cs.astype(np.float64))
-            return docs, total.astype(np.float32)
+            return self._sum_parts(parts)
         raise ValueError(kind)
+
+    #: max_doc bound for the dense per-shard accumulator (64 MB float64 +
+    #: 8 MB flags at the limit); a serving shard's docID space is bounded
+    #: by design, so this is the normal case — beyond it the sparse
+    #: sort-merge path takes over
+    _DENSE_MAX_DOC = 1 << 23
+
+    def _sum_parts(self, parts, min_match: int | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Disjunction sum over child (docs, scores) parts, in clause
+        order, double accumulate, float32 cast.
+
+        Fast path: a searcher-owned DENSE score/flag table indexed by
+        docID — the BooleanScorer bucket-table discipline
+        (search/BooleanScorer.java:60-90 scores windows of docs into a
+        dense bucket array instead of merging sorted streams).  Each
+        part lands with one vectorized scatter-add (docs are unique per
+        part), so the per-query cost is O(sum of list lengths), with no
+        sort and no per-part searchsorted.  Falls back to the sparse
+        unique+add.at merge when the shard's docID space exceeds
+        _DENSE_MAX_DOC."""
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        n = self.max_doc + 1
+        if 0 < n <= self._DENSE_MAX_DOC:
+            if not hasattr(self, "_acc_buf"):
+                self._acc_buf = np.zeros(n, dtype=np.float64)
+                self._seen_buf = np.zeros(n, dtype=bool)
+                self._cnt_buf = np.zeros(n, dtype=np.int32)
+            buf, seen, cnt = self._acc_buf, self._seen_buf, self._cnt_buf
+            docs = np.empty(0, np.int64)
+            try:
+                for cd, cs in parts:
+                    buf[cd] += cs.astype(np.float64)
+                    seen[cd] = True
+                    if min_match is not None:
+                        cnt[cd] += 1
+                docs = np.flatnonzero(seen)
+                scores = buf[docs].astype(np.float32)
+                if min_match is not None:
+                    keep = cnt[docs] >= min_match
+                    out = (docs[keep], scores[keep])
+                else:
+                    out = (docs, scores)
+            finally:
+                # always restore the scratch table, even on interrupts
+                buf[docs] = 0.0
+                seen[docs] = False
+                if min_match is not None:
+                    cnt[docs] = 0
+                if docs.size == 0:
+                    for cd, _ in parts:  # cleanup after a mid-part error
+                        buf[cd] = 0.0
+                        seen[cd] = False
+                        cnt[cd] = 0
+            return out
+        all_docs = np.concatenate([p[0] for p in parts])
+        docs = np.unique(all_docs)
+        total = np.zeros(docs.size, dtype=np.float64)
+        cnts = np.zeros(docs.size, dtype=np.int64)
+        for cd, cs in parts:
+            idx = np.searchsorted(docs, cd)
+            np.add.at(total, idx, cs.astype(np.float64))
+            if min_match is not None:
+                np.add.at(cnts, idx, 1)
+        if min_match is not None:
+            keep = cnts >= min_match
+            return docs[keep], total[keep].astype(np.float32)
+        return docs, total.astype(np.float32)
 
     # -------------------------------------------- pruned top-level OR
     def _mostly_undecoded(self, terms: list[str]) -> bool:
