@@ -120,7 +120,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     params = store.get_params(idx) if store.stage_committed(idx, "lineage") else None
     if params is not None and (
-        not params.get("positions") or params.get("schema_version") != 2
+        not params.get("positions") or params.get("schema_version") != 3
     ):
         shutil.rmtree(idx, ignore_errors=True)
     if not store.stage_committed(idx, "lineage"):

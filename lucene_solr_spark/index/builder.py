@@ -721,7 +721,7 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
         index_dir,
         {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
          "salt_df_threshold": cfg.salt_df_threshold,
-         "positions": cfg.positions, "schema_version": 2},
+         "positions": cfg.positions, "schema_version": 3},
     )
     if not (resume and store.stage_committed(index_dir, "docmap")):
         _stage_docmap(spark, transcripts, index_dir, cfg, seg=0, doc_base=0)
@@ -928,7 +928,7 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
         out_dir,
         {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
          "salt_df_threshold": cfg.salt_df_threshold,
-         "positions": cfg.positions, "schema_version": 2},
+         "positions": cfg.positions, "schema_version": 3},
     )
     from .deletes import read_deleted
 

@@ -14,7 +14,8 @@ batches on executors; per-row Python would dominate the build at scale).
 
 Layout of one encoded block payload (bytes):
     [1 byte bpv_doc][1 byte bpv_tf][packed doc deltas][packed tf-1]
-    bpv==0 -> 4-byte LE uint32 single value for all entries
+    bpv==0 -> 8-byte LE uint64 single value for all entries (64-bit-clean:
+    doc deltas can exceed 2^32 at 10^12-doc global docID scale)
 Tail blocks (<128 entries) are VByte of the interleaved Lucene tail
 stream: for each entry, (delta<<1)|1 if tf==1 else (delta<<1, tf).
 """
@@ -90,7 +91,9 @@ def vbyte_decode(data: bytes, count: int) -> np.ndarray:
 
 
 def _pack_bits(values: np.ndarray, bpv: int) -> bytes:
-    """Pack uint32 values at bpv bits each (little-endian bit order)."""
+    """Pack unsigned values at bpv bits each (little-endian bit order);
+    bpv may be up to 63 (64-bit-clean: at 10^12 global docIDs a sparse
+    term's doc DELTAS can exceed 2^32 — hypothesis found the truncation)."""
     if bpv == 0:
         return b""
     bits = ((values[:, None].astype(np.uint64) >> np.arange(bpv, dtype=np.uint64))
@@ -104,11 +107,11 @@ def _pack_bits(values: np.ndarray, bpv: int) -> bytes:
 
 def _unpack_bits(data: np.ndarray, count: int, bpv: int) -> np.ndarray:
     if bpv == 0:
-        return np.zeros(count, dtype=np.uint32)
+        return np.zeros(count, dtype=np.uint64)
     flat = np.unpackbits(data, bitorder="little")[: count * bpv]
     bits = flat.reshape(count, bpv).astype(np.uint64)
     vals = (bits << np.arange(bpv, dtype=np.uint64)).sum(axis=1)
-    return vals.astype(np.uint32)
+    return vals.astype(np.uint64)
 
 
 def _bpv(values: np.ndarray) -> int:
@@ -119,16 +122,16 @@ def _bpv(values: np.ndarray) -> int:
 def encode_full_block(deltas: np.ndarray, tfs: np.ndarray) -> bytes:
     """Encode one full 128-entry block: FOR bit-packed deltas + (tf-1)."""
     assert deltas.size == BLOCK_SIZE
-    d = deltas.astype(np.uint32)
-    t = (tfs.astype(np.uint32) - 1)
+    d = deltas.astype(np.uint64)
+    t = (tfs.astype(np.uint64) - 1)
     bpv_d, bpv_t = _bpv(d), _bpv(t)
     parts = [bytes([bpv_d, bpv_t])]
-    if bpv_d == 0:  # all-equal block: single 4-byte value (ForUtil bpv=0 case)
-        parts.append(np.uint32(d[0]).tobytes())
+    if bpv_d == 0:  # all-equal block: single 8-byte value (ForUtil bpv=0 case)
+        parts.append(np.uint64(d[0]).tobytes())
     else:
         parts.append(_pack_bits(d, bpv_d))
     if bpv_t == 0:
-        parts.append(np.uint32(t[0]).tobytes())
+        parts.append(np.uint64(t[0]).tobytes())
     else:
         parts.append(_pack_bits(t, bpv_t))
     return b"".join(parts)
@@ -139,16 +142,16 @@ def decode_full_block(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     buf = np.frombuffer(payload, dtype=np.uint8)
     off = 2
     if bpv_d == 0:
-        d = np.full(BLOCK_SIZE, np.frombuffer(payload, np.uint32, 1, 2)[0],
-                    dtype=np.uint32)
-        off += 4
+        d = np.full(BLOCK_SIZE, np.frombuffer(payload, np.uint64, 1, 2)[0],
+                    dtype=np.uint64)
+        off += 8
     else:
         nb = (BLOCK_SIZE * bpv_d + 7) // 8
         d = _unpack_bits(buf[off : off + nb], BLOCK_SIZE, bpv_d)
         off += nb
     if bpv_t == 0:
-        t = np.full(BLOCK_SIZE, np.frombuffer(payload, np.uint32, 1, off)[0],
-                    dtype=np.uint32)
+        t = np.full(BLOCK_SIZE, np.frombuffer(payload, np.uint64, 1, off)[0],
+                    dtype=np.uint64)
     else:
         nb = (BLOCK_SIZE * bpv_t + 7) // 8
         t = _unpack_bits(buf[off : off + nb], BLOCK_SIZE, bpv_t)
@@ -173,8 +176,8 @@ def decode_tail_block(payload: bytes, count: int) -> tuple[np.ndarray, np.ndarra
     raw = np.frombuffer(payload, dtype=np.uint8)
     n_vals = int(((raw & 0x80) == 0).sum())
     vals = vbyte_decode(payload, n_vals)
-    deltas = np.zeros(count, dtype=np.uint32)
-    tfs = np.zeros(count, dtype=np.uint32)
+    deltas = np.zeros(count, dtype=np.uint64)
+    tfs = np.zeros(count, dtype=np.uint64)
     i = j = 0
     vl = vals.tolist()
     while j < count:

@@ -650,9 +650,13 @@ class DistributedSearcher:
         return node
 
     # ------------------------------------------------------------- api
-    def search_df(self, query, k: int = 10) -> DataFrame:
+    def search_df(self, query, k: int = 10, after=None) -> DataFrame:
         """Top-k as a DataFrame(doc_id long, score float) — composable
-        with join-back to the source table (stored-fields fetch)."""
+        with join-back to the source table (stored-fields fetch).
+        `after` = (doc_id, score) keyset cursor: only docs strictly
+        after it in (score desc, docID asc) order are returned (the
+        distributed searchAfter — TopDocs.merge honors the cursor on
+        every shard before the final merge)."""
         node = parse_query(query) if isinstance(query, str) else query
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
@@ -662,6 +666,13 @@ class DistributedSearcher:
         terms = _terms_of(node)
         scored = self._scored_terms_df(terms)
         plan = self._live(self._plan(node, scored, [0]))
+        if after is not None:
+            a_doc, a_score = int(after[0]), float(after[1])
+            s_lit = F.lit(a_score).cast(self._st)
+            plan = plan.filter(
+                (F.col("score") < s_lit)
+                | ((F.col("score") == s_lit) & (F.col("doc_id") > a_doc))
+            )
         return (
             plan.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -37,7 +37,8 @@ def test_all_equal_block_is_degenerate():
     assert len(blocks) == 1
     b = blocks[0]
     # first delta is 0, rest 1 -> bpv 1 for docs; tf-1 all 0 -> bpv 0
-    assert len(b["payload"]) <= 2 + (BLOCK_SIZE // 8) + 4
+    # (bpv-0 single value is 8 bytes since the 64-bit-clean format)
+    assert len(b["payload"]) <= 2 + (BLOCK_SIZE // 8) + 8
     d, t = decode_posting_list(blocks)
     assert np.array_equal(d, docs) and np.array_equal(t, tfs)
 

@@ -289,6 +289,25 @@ def test_distributed_extended(spark, index_dir, oracle):
         ], q
 
 
+def test_distributed_search_after(spark, index_dir, oracle):
+    """Distributed keyset pagination: pages from DistributedSearcher
+    concatenate to the oracle's full ranking (the cursor is honored on
+    every shard before the TopDocs.merge)."""
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    ds = DistributedSearcher(spark, index_dir)
+    node = parse_query("retry OR deploy OR cache")
+    want = oracle.search(node, 12)
+    p1 = [(d, np.float32(s)) for d, s in ds.search("retry OR deploy OR cache", 6)]
+    p2 = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in ds.search_df(
+            "retry OR deploy OR cache", 6, after=(p1[-1][0], float(p1[-1][1]))
+        ).collect()
+    ]
+    assert p1 + p2 == [(d, np.float32(s)) for d, s in want]
+
+
 def test_sloppy_freq_reference_trace():
     """Hand-traced SloppyPhraseScorer.phraseFreq outcomes: A at raw
     positions [0,10] (offset 0), B at raw [3,13] (offset 1) -> adjusted

@@ -16,6 +16,9 @@ Cluster usage (ship the package with --py-files):
         validate --input s3://bucket/transcripts/ --index s3://bucket/idx
     spark-submit --py-files lss.zip tools/build_cli.py \\
         search --index /path/idx --query "retry AND deploy" -k 10
+    python tools/build_cli.py search --index /path/idx \\
+        --query 'batch #role:user #ts:[2026-01-01 TO *]' --after 123:0.817
+    python tools/build_cli.py delete --index /path/idx --doc-ids 5,9,120
 
 Local smoke (no cluster): python tools/build_cli.py build --input ... \\
     --index ... --local 8
@@ -50,7 +53,7 @@ def _spark(args):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lss")
     ap.add_argument("cmd", choices=["build", "append", "compact",
-                                    "validate", "search"])
+                                    "validate", "search", "delete"])
     ap.add_argument("--input", help="transcripts table path (parquet)")
     ap.add_argument("--index", required=True, help="index directory")
     ap.add_argument("--out", help="output index dir (compact)")
@@ -62,6 +65,8 @@ def main(argv=None) -> int:
     ap.add_argument("--salt-df-threshold", type=int, default=200_000)
     ap.add_argument("--query", help="query string (search)")
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--after", help="searchAfter cursor doc_id:score")
+    ap.add_argument("--doc-ids", help="comma-separated docIDs (delete)")
     ap.add_argument("--local", type=int, default=0,
                     help="run on local[N] instead of the submit master")
     args = ap.parse_args(argv)
@@ -69,8 +74,19 @@ def main(argv=None) -> int:
     if args.cmd == "search":
         from lucene_solr_spark.query.engine import LocalSearcher
 
-        hits = LocalSearcher(args.index).search(args.query, args.k)
+        after = None
+        if args.after:
+            d, s_ = args.after.split(":", 1)
+            after = (int(d), float(s_))
+        hits = LocalSearcher(args.index).search(args.query, args.k,
+                                                after=after)
         print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
+        return 0
+    if args.cmd == "delete":
+        from lucene_solr_spark.index.deletes import delete_docs, read_deleted
+
+        delete_docs(args.index, [int(x) for x in args.doc_ids.split(",")])
+        print(json.dumps({"deleted_total": int(read_deleted(args.index).size)}))
         return 0
 
     from lucene_solr_spark.index.builder import (
