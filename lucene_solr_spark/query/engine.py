@@ -827,6 +827,91 @@ class LocalSearcher:
         return docs, total.astype(np.float32)
 
     # ------------------------------------------------------------- api
+    def explain(self, query, doc_id: int) -> dict:
+        """Score explanation for one document — the
+        IndexSearcher.explain / Explanation surface
+        (search/IndexSearcher.java:670-700, similarities/
+        BM25Similarity.java explainScore): a nested dict with the node's
+        value, match flag and per-component details; term leaves expose
+        the BM25 inputs (df, idf, tf, norm byte, avgdl).  The value at
+        every node is computed by the REAL evaluation path, so
+        explain(q, d)['value'] equals the score search(q) returns for d."""
+        node = parse_query(query) if isinstance(query, str) else query
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
+            return {"match": False, "value": None,
+                    "description": "MatchNoDocsQuery"}
+        self._load_terms(self._collect_terms(node))
+        self._eval_memo = {}
+        return self._explain_node(node, int(doc_id))
+
+    def _node_value(self, node, doc: int):
+        docs, scores = self._eval(node)
+        i = int(np.searchsorted(docs, doc))
+        if i < docs.size and docs[i] == doc:
+            return float(scores[i])
+        return None
+
+    def _explain_node(self, node, doc: int) -> dict:
+        kind = node[0]
+        val = self._node_value(node, doc)
+        out: dict = {"match": val is not None, "value": val}
+        if kind == "term":
+            tp = self._tp(node[1])
+            df = tp.n_docs
+            idf = float(np.float32(
+                np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
+            ))
+            out["description"] = f"weight(text:{node[1]}) [BM25Similarity]"
+            detail = {"docFreq": df, "docCount": self.doc_count, "idf": idf,
+                      "k1": float(self.k1), "b": float(self.b),
+                      "avgdl": float(self.avgdl)}
+            docs, tfs, norms = tp.decode_all()
+            i = int(np.searchsorted(docs, doc))
+            if i < docs.size and docs[i] == doc:
+                detail["freq"] = int(tfs[i])
+                detail["norm_byte"] = int(norms[i])
+                detail["norm_decoded"] = float(NORM_TABLE[norms[i]])
+            out["details"] = [detail]
+            return out
+        if kind == "fterm":
+            tp = self._tp(node[2], node[1])
+            dc_f = int(self.fstats.get(node[1], {}).get("doc_count", 0))
+            out["description"] = (
+                f"weight({node[1]}:{node[2]}) [omitNorms StringField]"
+            )
+            out["details"] = [{"docFreq": tp.n_docs, "docCount": dc_f,
+                               "norm": float(self.k1)}]
+            return out
+        labels = {
+            "and": "sum of (MUST):", "or": "sum of (SHOULD):",
+            "msm_or": "sum of matching SHOULD (minShouldMatch):",
+            "andnot": "MUST_NOT-filtered:", "reqopt": "required+optional:",
+            "reqfilter": "FILTER-restricted:", "filter0": "FILTER only:",
+            "boost": "boost product:", "phrase": "phrase(sum idf):",
+            "const_or": "ConstantScore(expanded terms):",
+            "tsrange": "PointRangeQuery(ts):",
+        }
+        out["description"] = labels.get(kind, kind)
+        if kind in ("and", "or"):
+            out["details"] = [self._explain_node(c, doc) for c in node[1]]
+        elif kind == "msm_or":
+            out["minShouldMatch"] = node[1]
+            out["details"] = [self._explain_node(c, doc) for c in node[2]]
+        elif kind in ("andnot", "reqopt", "reqfilter"):
+            out["details"] = [self._explain_node(node[1], doc),
+                              self._explain_node(node[2], doc)]
+        elif kind == "boost":
+            out["boost"] = float(node[2])
+            out["details"] = [self._explain_node(node[1], doc)]
+        elif kind == "filter0":
+            out["details"] = [self._explain_node(node[1], doc)]
+        elif kind == "phrase":
+            out["clauses"] = [list(c) for c in node[1]]
+            if len(node) > 2:
+                out["slop"] = node[2]
+        return out
+
     def search_after(self, query, after: tuple[int, float],
                      k: int = 10) -> list[tuple[int, float]]:
         """Keyset pagination (IndexSearcher.searchAfter,

@@ -67,11 +67,15 @@ def index_batch(spark: SparkSession, batch_df: DataFrame, index_dir: str,
 def start_incremental_indexing(spark: SparkSession, stream_df: DataFrame,
                                index_dir: str, checkpoint_dir: str,
                                cfg: BuildConfig | None = None,
-                               available_now: bool = True):
+                               available_now: bool = True,
+                               interval: str | None = None):
     """Attach the incremental indexer to a streaming DataFrame of
     transcripts.  Returns the StreamingQuery; with available_now=True it
     drains the source then stops (micro-batch catch-up mode), otherwise
-    it runs continuously."""
+    it runs continuously.  `interval` (e.g. "30 seconds") runs it as a
+    fixed-cadence daemon — the DaemonStream analogue
+    (solr/solrj/.../io/stream/DaemonStream.java re-executes its inner
+    stream on an interval; here the trigger cadence plays that role)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         index_batch(spark, batch_df, index_dir, cfg, batch_id=batch_id)
@@ -80,6 +84,8 @@ def start_incremental_indexing(spark: SparkSession, stream_df: DataFrame,
         stream_df.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
+    if interval is not None:
+        writer = writer.trigger(processingTime=interval)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -289,6 +289,29 @@ def test_distributed_extended(spark, index_dir, oracle):
         ], q
 
 
+def test_explain_matches_search(searcher, oracle):
+    """explain(q, d)['value'] equals the score search(q) returns for d,
+    for every node shape; non-matching docs report match=False
+    (IndexSearcher.explain consistency)."""
+    for q in ["retry", "retry AND deploy", "retry OR cache^2",
+              "(retry deploy cache)@2", '"retry deploy"~2',
+              "retry #role:user", "ba* AND retry"]:
+        hits = searcher.search(q, 5)
+        if not hits:
+            continue
+        for d, s in hits[:3]:
+            ex = searcher.explain(q, d)
+            assert ex["match"] and np.float32(ex["value"]) == np.float32(s), q
+        missing = next(x for x in range(10**6)
+                       if x not in {h[0] for h in searcher.search(q, k=None)})
+        assert searcher.explain(q, missing)["match"] is False, q
+    # term leaf exposes the BM25 inputs
+    d0 = searcher.search("retry", 1)[0][0]
+    leaf = searcher.explain("retry", d0)
+    det = leaf["details"][0]
+    assert {"docFreq", "docCount", "idf", "freq", "norm_byte"} <= set(det)
+
+
 def test_distributed_search_after(spark, index_dir, oracle):
     """Distributed keyset pagination: pages from DistributedSearcher
     concatenate to the oracle's full ranking (the cursor is honored on

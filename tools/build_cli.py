@@ -53,7 +53,8 @@ def _spark(args):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lss")
     ap.add_argument("cmd", choices=["build", "append", "compact",
-                                    "validate", "search", "delete"])
+                                    "validate", "search", "delete",
+                                    "explain"])
     ap.add_argument("--input", help="transcripts table path (parquet)")
     ap.add_argument("--index", required=True, help="index directory")
     ap.add_argument("--out", help="output index dir (compact)")
@@ -67,6 +68,7 @@ def main(argv=None) -> int:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--after", help="searchAfter cursor doc_id:score")
     ap.add_argument("--doc-ids", help="comma-separated docIDs (delete)")
+    ap.add_argument("--doc", type=int, help="docID to explain")
     ap.add_argument("--local", type=int, default=0,
                     help="run on local[N] instead of the submit master")
     args = ap.parse_args(argv)
@@ -81,6 +83,13 @@ def main(argv=None) -> int:
         hits = LocalSearcher(args.index).search(args.query, args.k,
                                                 after=after)
         print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
+        return 0
+    if args.cmd == "explain":
+        from lucene_solr_spark.query.engine import LocalSearcher
+
+        print(json.dumps(
+            LocalSearcher(args.index).explain(args.query, args.doc), indent=1
+        ))
         return 0
     if args.cmd == "delete":
         from lucene_solr_spark.index.deletes import delete_docs, read_deleted
