@@ -422,6 +422,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t1, t2 = _PHRASE
         return _topk_engine(spark, sf, f'"{t1} {t2}"')
 
+    def span_near_membership(spark, sf):
+        # SpanNearQuery(ordered, slop=3) membership through the serving
+        # engine: for 2 clauses, a doc matches iff some position pair
+        # (pa < pb) has pb - pa - 1 <= slop (the stretchToOrder minimum
+        # width argument) — exactly SQL-checkable; span SCORES
+        # (1/(1+width) sums) are locked by the rank-identity suite
+        from lucene_solr_spark.query.engine import LocalSearcher
+
+        idx = _ensure_index(spark, sf)
+        t1, t2 = _PHRASE
+        node = ("span_near", [("sterm", t1), ("sterm", t2)], 3, True)
+        hits = LocalSearcher(idx).search(node, k=None)
+        return spark.createDataFrame(
+            [(int(d),) for d, _ in hits] or [], "doc_id long"
+        )
+
     def phrase_sloppy(spark, sf):
         # sloppy-phrase MEMBERSHIP (all docs where "t1 t2"~2 matches):
         # SQL-checkable because for a 2-term phrase freq>0 iff some
@@ -691,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mixed": bm25_mixed,
         "bm25_msm": bm25_msm,
         "phrase_sloppy": phrase_sloppy,
+        "span_near_membership": span_near_membership,
         "facet_top_terms": facet_top_terms,
         "prefix_expand": prefix_expand,
         "field_term_stats": field_term_stats,
@@ -1079,6 +1096,13 @@ ORDER BY raw DESC, vec_id LIMIT 10
 """,
         "phrase_query": _phrase_oracle_sql(),
         "phrase_sloppy": _phrase_sloppy_oracle_sql(2),
+        "span_near_membership": f"""
+WITH {_PTOK_CTE}
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[0]}') a
+JOIN (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[1]}') b USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+""",
         "bm25_msm": _bm25_msm_oracle_sql(),
         "stream_select_having": """
 SELECT o_orderkey, o_totalprice AS total, year(o_orderdate) AS year

@@ -201,6 +201,8 @@ class LuceneOracle:
             return docs, (scores * np.float32(node[2])).astype(np.float32)
         if kind == "phrase":
             return self._eval_phrase(node[1], node[2] if len(node) > 2 else 0)
+        if kind == "span_near":
+            return self._eval_span_near(node)
         if kind == "msm_or":
             # MinShouldMatchSumScorer: >= n matching SHOULD clauses,
             # score = double sum of the matching clauses' scores
@@ -318,6 +320,70 @@ class LuceneOracle:
         norms = cache[self.norm_bytes[cand]]
         freq = freqs.astype(np.float32)
         return cand, (wv * freq / (freq + norms)).astype(np.float32)
+
+    def _eval_span_near(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """SpanNearQuery twin (shared matching spec in query/spans.py;
+        see engine._eval_span_near for the reference citations)."""
+        from ..query.spans import (
+            near_ordered_widths, near_unordered_widths, or_spans,
+            span_freq, term_spans,
+        )
+
+        clauses, slop, in_order = node[1], int(node[2]), bool(node[3])
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        clause_terms = [
+            [c[1]] if c[0] == "sterm" else sorted(c[1]) for c in clauses
+        ]
+        clause_docs = []
+        for terms in clause_terms:
+            parts = [self.postings[t][0] for t in terms if t in self.postings]
+            if not parts:
+                return empty
+            clause_docs.append(
+                parts[0] if len(parts) == 1
+                else np.unique(np.concatenate(parts))
+            )
+        cand = clause_docs[0]
+        for cd in clause_docs[1:]:
+            cand = np.intersect1d(cand, cd, assume_unique=True)
+        if cand.size == 0:
+            return empty
+        matcher = near_ordered_widths if in_order else near_unordered_widths
+        freqs = np.zeros(cand.size, dtype=np.float32)
+        for ci, d in enumerate(cand.tolist()):
+            subs = []
+            for terms in clause_terms:
+                lists = []
+                for t in terms:
+                    if t not in self.postings:
+                        continue
+                    docs = self.postings[t][0]
+                    j = int(np.searchsorted(docs, d))
+                    if j < docs.size and docs[j] == d:
+                        lists.append(term_spans(self.positions[t][j]))
+                if not lists:
+                    subs = None
+                    break
+                subs.append(lists[0] if len(lists) == 1 else or_spans(lists))
+            if subs is None:
+                continue
+            freqs[ci] = span_freq(matcher(subs, slop))
+        mask = freqs > 0
+        cand, freqs = cand[mask], freqs[mask]
+        if cand.size == 0:
+            return empty
+        idf_sum = np.float32(0.0)
+        dc = self.doc_count
+        for t in sorted({t for terms in clause_terms for t in terms}):
+            df = len(self.postings.get(t, ((), ()))[0])
+            idf_sum = np.float32(idf_sum + np.float32(
+                np.log(1 + (dc - df + 0.5) / (df + 0.5))
+            ))
+        k1 = np.float32(self.params.k1)
+        wv = np.float32(idf_sum * (k1 + np.float32(1.0)))
+        cache = self.norm_cache()
+        norms = cache[self.norm_bytes[cand]]
+        return cand, (wv * freqs / (freqs + norms)).astype(np.float32)
 
     def rewrite(self, node: QueryNode | None) -> QueryNode | None:
         """Expand multi-term nodes against this oracle's own vocabulary

@@ -307,6 +307,11 @@ class LocalSearcher:
             return [("text", t) for t in node[1]]
         if kind == "phrase":
             return [("text", t) for t, _ in node[1]]
+        if kind == "span_near":
+            return [
+                ("text", t) for c in node[1]
+                for t in ([c[1]] if c[0] == "sterm" else c[1])
+            ]
         if kind in ("matchnone", "tsrange"):
             return []
         if kind in ("andnot", "reqopt", "reqfilter"):
@@ -336,6 +341,12 @@ class LocalSearcher:
             return self._cost_of(node[1])
         if kind == "phrase":
             return min(self._tp(t).n_docs for t, _ in node[1])
+        if kind == "span_near":
+            return min(
+                sum(self._tp(t).n_docs
+                    for t in ([c[1]] if c[0] == "sterm" else c[1]))
+                for c in node[1]
+            )
         if kind == "and":
             return min(self._cost_of(c) for c in node[1])
         children = node[2] if kind == "msm_or" else node[1]
@@ -504,10 +515,93 @@ class LocalSearcher:
         tbl = self._docmap_ds.to_table(columns=["doc_id"], filter=filt)
         return np.sort(tbl.column("doc_id").to_numpy())
 
+    def _eval_span_near(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """SpanNearQuery (ordered/unordered) over term / span-or clauses:
+        node = ("span_near", [clause...], slop, in_order) with clause =
+        ("sterm", t) | ("sor", [terms]).  Match enumeration per
+        query/spans.py (the NearSpansOrdered/Unordered spec); freq is
+        the float32 sum of 1/(1+width) (SpanScorer.java:90-110); BM25
+        weight uses the summed idf of the DEDUPLICATED terms
+        (SpanWeight.buildSimWeight term map)."""
+        from .spans import (
+            near_ordered_widths, near_unordered_widths, or_spans,
+            span_freq, term_spans,
+        )
+
+        clauses, slop, in_order = node[1], int(node[2]), bool(node[3])
+        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
+        clause_terms = [
+            [c[1]] if c[0] == "sterm" else sorted(c[1]) for c in clauses
+        ]
+        tps = {t: self._tp(t) for terms in clause_terms for t in terms}
+        # candidates: docs holding >= 1 term of EVERY clause
+        clause_docs = []
+        for terms in clause_terms:
+            parts = [tps[t].decode_all()[0] for t in terms if tps[t].blocks]
+            if not parts:
+                return empty
+            clause_docs.append(
+                parts[0] if len(parts) == 1
+                else np.unique(np.concatenate(parts))
+            )
+        order = np.argsort([d.size for d in clause_docs], kind="stable")
+        cand = clause_docs[order[0]]
+        for oi in order[1:]:
+            cand = cand[_sorted_isin(cand, clause_docs[oi])]
+            if cand.size == 0:
+                return empty
+        # positions restricted to candidate-covering blocks
+        term_data = {}
+        for t, tp in tps.items():
+            if not tp.blocks:
+                continue
+            fd, ld = tp.block_ranges()
+            lo = np.searchsorted(cand, fd, side="left")
+            hi = np.searchsorted(cand, ld, side="right")
+            docs, _, norms, pos = tp.decode_positions_blocks(
+                np.flatnonzero(hi > lo)
+            )
+            term_data[t] = (docs, norms, pos)
+        freqs = np.zeros(cand.size, dtype=np.float32)
+        normsb = np.zeros(cand.size, dtype=np.uint8)
+        matcher = near_ordered_widths if in_order else near_unordered_widths
+        for ci, d in enumerate(cand.tolist()):
+            subs = []
+            for terms in clause_terms:
+                lists = []
+                for t in terms:
+                    docs, norms, pos = term_data[t]
+                    j = int(np.searchsorted(docs, d))
+                    if j < docs.size and docs[j] == d:
+                        lists.append(term_spans(pos[j]))
+                        normsb[ci] = norms[j]
+                if not lists:
+                    subs = None
+                    break
+                subs.append(lists[0] if len(lists) == 1 else or_spans(lists))
+            if subs is None:
+                continue
+            freqs[ci] = span_freq(matcher(subs, slop))
+        mask = freqs > 0
+        cand, freqs, normsb = cand[mask], freqs[mask], normsb[mask]
+        if cand.size == 0:
+            return empty
+        idf_sum = np.float32(0.0)
+        for t in sorted({t for terms in clause_terms for t in terms}):
+            df = tps[t].n_docs
+            idf_sum = np.float32(idf_sum + np.float32(
+                np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
+            ))
+        wv = np.float32(idf_sum * (self.k1 + np.float32(1.0)))
+        scores = (wv * freqs / (freqs + self.cache[normsb])).astype(np.float32)
+        return cand, scores
+
     def _eval_inner(self, node) -> tuple[np.ndarray, np.ndarray]:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
+        if kind == "span_near":
+            return self._eval_span_near(node)
         if kind == "fterm":
             return self._fterm_scores(node[1], node[2])
         if kind == "tsrange":

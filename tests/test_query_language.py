@@ -289,6 +289,54 @@ def test_distributed_extended(spark, index_dir, oracle):
         ], q
 
 
+def test_span_near_javadoc_trace():
+    """NearSpansOrdered javadoc fragment: querying (t1, t2, t3) with
+    slop 1 over 't1 t2 t1 t3 t2 t3' matches twice (both at width 1)."""
+    from lucene_solr_spark.query.spans import (
+        near_ordered_widths, near_unordered_widths, span_freq, term_spans,
+    )
+
+    t1 = term_spans(np.array([0, 2]))
+    t2 = term_spans(np.array([1, 4]))
+    t3 = term_spans(np.array([3, 5]))
+    assert near_ordered_widths([t1, t2, t3], 1) == [1, 1]
+    assert near_ordered_widths([t1, t2, t3], 0) == []
+    assert span_freq([1, 1]) == np.float32(1.0)  # 1/2 + 1/2
+    # unordered: the fragment has two fully-adjacent unordered windows,
+    # 't2 t1 t3' at positions 1-3 and 't1 t3 t2' at 2-4 (scoring width
+    # = maxEndCell.start - minCell.start = 2 for both)
+    assert near_unordered_widths([t3, t1, t2], 0) == [2, 2]
+    assert len(near_unordered_widths([t3, t1, t2], 2)) >= 2
+
+
+def test_span_near_rank_identity(searcher, oracle):
+    """SpanNearQuery ordered/unordered with term and span-or clauses:
+    engine == oracle (shared span spec, independent candidate/position
+    machinery)."""
+    cases = [
+        ([("sterm", "retry"), ("sterm", "deploy")], 0, True),
+        ([("sterm", "retry"), ("sterm", "deploy")], 3, True),
+        ([("sterm", "deploy"), ("sterm", "retry")], 2, False),
+        ([("sterm", "cache"), ("sterm", "miss")], 5, False),
+        ([("sor", ["retry", "cache"]), ("sterm", "deploy")], 2, True),
+        ([("sterm", "fix"), ("sterm", "flake")], 1, True),  # stopword gap
+        ([("sterm", "retry"), ("sterm", "deploy"),
+          ("sterm", "pipeline")], 2, True),
+        ([("sterm", "retry"), ("sterm", "deploy"),
+          ("sterm", "pipeline")], 4, False),
+    ]
+    n_nonempty = 0
+    for clauses, slop, in_order in cases:
+        node = ("span_near", clauses, slop, in_order)
+        got = searcher.search(node, 10)
+        want = oracle.search(node, 10)
+        n_nonempty += bool(want)
+        assert [(d, np.float32(s)) for d, s in got] == [
+            (d, np.float32(s)) for d, s in want
+        ], (clauses, slop, in_order)
+    assert n_nonempty >= 5  # the cases genuinely match documents
+
+
 def test_explain_matches_search(searcher, oracle):
     """explain(q, d)['value'] equals the score search(q) returns for d,
     for every node shape; non-matching docs report match=False
