@@ -201,8 +201,8 @@ class LuceneOracle:
             return docs, (scores * np.float32(node[2])).astype(np.float32)
         if kind == "phrase":
             return self._eval_phrase(node[1], node[2] if len(node) > 2 else 0)
-        if kind == "span_near":
-            return self._eval_span_near(node)
+        if kind in ("span_near", "span_first", "span_not", "sor", "sterm"):
+            return self._eval_span(node)
         if kind == "msm_or":
             # MinShouldMatchSumScorer: >= n matching SHOULD clauses,
             # score = double sum of the matching clauses' scores
@@ -321,60 +321,56 @@ class LuceneOracle:
         freq = freqs.astype(np.float32)
         return cand, (wv * freq / (freq + norms)).astype(np.float32)
 
-    def _eval_span_near(self, node) -> tuple[np.ndarray, np.ndarray]:
-        """SpanNearQuery twin (shared matching spec in query/spans.py;
-        see engine._eval_span_near for the reference citations)."""
-        from ..query.spans import (
-            near_ordered_widths, near_unordered_widths, or_spans,
-            span_freq, term_spans,
-        )
-
-        clauses, slop, in_order = node[1], int(node[2]), bool(node[3])
-        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
-        clause_terms = [
-            [c[1]] if c[0] == "sterm" else sorted(c[1]) for c in clauses
-        ]
-        clause_docs = []
-        for terms in clause_terms:
-            parts = [self.postings[t][0] for t in terms if t in self.postings]
+    def _span_docs(self, clause) -> np.ndarray:
+        kind = clause[0]
+        if kind == "sterm":
+            return self.postings.get(clause[1], (np.empty(0, np.int64),))[0]
+        if kind == "sor":
+            parts = [self.postings[t][0] for t in clause[1]
+                     if t in self.postings]
             if not parts:
-                return empty
-            clause_docs.append(
-                parts[0] if len(parts) == 1
-                else np.unique(np.concatenate(parts))
-            )
-        cand = clause_docs[0]
-        for cd in clause_docs[1:]:
-            cand = np.intersect1d(cand, cd, assume_unique=True)
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(parts))
+        if kind == "span_near":
+            subs = [self._span_docs(c) for c in clause[1]]
+            cand = subs[0]
+            for cd in subs[1:]:
+                cand = np.intersect1d(cand, cd, assume_unique=True)
+            return cand
+        if kind in ("span_first", "span_not"):
+            return self._span_docs(clause[1])
+        raise ValueError(kind)
+
+    def _eval_span(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """Span-query twin (shared matching spec in query/spans.py; see
+        engine._eval_span for the reference citations)."""
+        from ..query.spans import doc_spans, span_freq, span_terms
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        cand = self._span_docs(node)
         if cand.size == 0:
             return empty
-        matcher = near_ordered_widths if in_order else near_unordered_widths
         freqs = np.zeros(cand.size, dtype=np.float32)
         for ci, d in enumerate(cand.tolist()):
-            subs = []
-            for terms in clause_terms:
-                lists = []
-                for t in terms:
-                    if t not in self.postings:
-                        continue
-                    docs = self.postings[t][0]
-                    j = int(np.searchsorted(docs, d))
-                    if j < docs.size and docs[j] == d:
-                        lists.append(term_spans(self.positions[t][j]))
-                if not lists:
-                    subs = None
-                    break
-                subs.append(lists[0] if len(lists) == 1 else or_spans(lists))
-            if subs is None:
-                continue
-            freqs[ci] = span_freq(matcher(subs, slop))
+            def positions_of(t, _d=d):
+                if t not in self.postings:
+                    return None
+                docs = self.postings[t][0]
+                j = int(np.searchsorted(docs, _d))
+                if j < docs.size and docs[j] == _d:
+                    return self.positions[t][j]
+                return None
+
+            spans = doc_spans(node, positions_of)
+            if spans:
+                freqs[ci] = span_freq(spans)
         mask = freqs > 0
         cand, freqs = cand[mask], freqs[mask]
         if cand.size == 0:
             return empty
         idf_sum = np.float32(0.0)
         dc = self.doc_count
-        for t in sorted({t for terms in clause_terms for t in terms}):
+        for t in sorted(set(span_terms(node, scoring=True, top=True))):
             df = len(self.postings.get(t, ((), ()))[0])
             idf_sum = np.float32(idf_sum + np.float32(
                 np.log(1 + (dc - df + 0.5) / (df + 0.5))

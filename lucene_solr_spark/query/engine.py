@@ -307,11 +307,10 @@ class LocalSearcher:
             return [("text", t) for t in node[1]]
         if kind == "phrase":
             return [("text", t) for t, _ in node[1]]
-        if kind == "span_near":
-            return [
-                ("text", t) for c in node[1]
-                for t in ([c[1]] if c[0] == "sterm" else c[1])
-            ]
+        if kind in ("span_near", "span_first", "span_not", "sor", "sterm"):
+            from .spans import span_terms
+
+            return [("text", t) for t in span_terms(node)]
         if kind in ("matchnone", "tsrange"):
             return []
         if kind in ("andnot", "reqopt", "reqfilter"):
@@ -342,11 +341,13 @@ class LocalSearcher:
         if kind == "phrase":
             return min(self._tp(t).n_docs for t, _ in node[1])
         if kind == "span_near":
-            return min(
-                sum(self._tp(t).n_docs
-                    for t in ([c[1]] if c[0] == "sterm" else c[1]))
-                for c in node[1]
-            )
+            return min(self._cost_of(c) for c in node[1])
+        if kind == "sterm":
+            return self._tp(node[1]).n_docs
+        if kind == "sor":
+            return sum(self._tp(t).n_docs for t in node[1])
+        if kind in ("span_first", "span_not"):
+            return self._cost_of(node[1])
         if kind == "and":
             return min(self._cost_of(c) for c in node[1])
         children = node[2] if kind == "msm_or" else node[1]
@@ -515,44 +516,59 @@ class LocalSearcher:
         tbl = self._docmap_ds.to_table(columns=["doc_id"], filter=filt)
         return np.sort(tbl.column("doc_id").to_numpy())
 
-    def _eval_span_near(self, node) -> tuple[np.ndarray, np.ndarray]:
-        """SpanNearQuery (ordered/unordered) over term / span-or clauses:
-        node = ("span_near", [clause...], slop, in_order) with clause =
-        ("sterm", t) | ("sor", [terms]).  Match enumeration per
-        query/spans.py (the NearSpansOrdered/Unordered spec); freq is
-        the float32 sum of 1/(1+width) (SpanScorer.java:90-110); BM25
-        weight uses the summed idf of the DEDUPLICATED terms
-        (SpanWeight.buildSimWeight term map)."""
-        from .spans import (
-            near_ordered_widths, near_unordered_widths, or_spans,
-            span_freq, term_spans,
-        )
-
-        clauses, slop, in_order = node[1], int(node[2]), bool(node[3])
-        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
-        clause_terms = [
-            [c[1]] if c[0] == "sterm" else sorted(c[1]) for c in clauses
-        ]
-        tps = {t: self._tp(t) for terms in clause_terms for t in terms}
-        # candidates: docs holding >= 1 term of EVERY clause
-        clause_docs = []
-        for terms in clause_terms:
-            parts = [tps[t].decode_all()[0] for t in terms if tps[t].blocks]
+    def _span_required_docs(self, clause) -> np.ndarray:
+        """Docs that can possibly match a span clause (the two-phase
+        approximation): term -> its postings; or -> union; near ->
+        intersection over clauses; first -> child; not -> include."""
+        kind = clause[0]
+        if kind == "sterm":
+            tp = self._tp(clause[1])
+            return tp.decode_all()[0] if tp.blocks else np.empty(0, np.int64)
+        if kind == "sor":
+            parts = [
+                self._tp(t).decode_all()[0]
+                for t in clause[1] if self._tp(t).blocks
+            ]
             if not parts:
-                return empty
-            clause_docs.append(
+                return np.empty(0, np.int64)
+            return (
                 parts[0] if len(parts) == 1
                 else np.unique(np.concatenate(parts))
             )
-        order = np.argsort([d.size for d in clause_docs], kind="stable")
-        cand = clause_docs[order[0]]
-        for oi in order[1:]:
-            cand = cand[_sorted_isin(cand, clause_docs[oi])]
-            if cand.size == 0:
-                return empty
+        if kind == "span_near":
+            subs = [self._span_required_docs(c) for c in clause[1]]
+            order = np.argsort([d.size for d in subs], kind="stable")
+            cand = subs[order[0]]
+            for oi in order[1:]:
+                if cand.size == 0:
+                    break
+                cand = cand[_sorted_isin(cand, subs[oi])]
+            return cand
+        if kind in ("span_first",):
+            return self._span_required_docs(clause[1])
+        if kind == "span_not":
+            return self._span_required_docs(clause[1])
+        raise ValueError(kind)
+
+    def _eval_span(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """Span-query evaluation (SpanNear ordered/unordered, SpanOr,
+        SpanFirst, SpanNot — composable/nested): match enumeration per
+        query/spans.py (the NearSpans* spec); freq is the float32 sum of
+        1/(1+width) over the top clause's spans (SpanScorer.java:90-110);
+        BM25 weight uses the summed idf of the DEDUPLICATED scoring
+        terms (SpanWeight.buildSimWeight — a top-level SpanNot weights
+        include+exclude terms, a nested one only include)."""
+        from .spans import doc_spans, span_freq, span_terms
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
+        all_terms = sorted(set(span_terms(node)))
+        cand = self._span_required_docs(node)
+        if cand.size == 0:
+            return empty
         # positions restricted to candidate-covering blocks
         term_data = {}
-        for t, tp in tps.items():
+        for t in all_terms:
+            tp = self._tp(t)
             if not tp.blocks:
                 continue
             fd, ld = tp.block_ranges()
@@ -564,31 +580,28 @@ class LocalSearcher:
             term_data[t] = (docs, norms, pos)
         freqs = np.zeros(cand.size, dtype=np.float32)
         normsb = np.zeros(cand.size, dtype=np.uint8)
-        matcher = near_ordered_widths if in_order else near_unordered_widths
         for ci, d in enumerate(cand.tolist()):
-            subs = []
-            for terms in clause_terms:
-                lists = []
-                for t in terms:
-                    docs, norms, pos = term_data[t]
-                    j = int(np.searchsorted(docs, d))
-                    if j < docs.size and docs[j] == d:
-                        lists.append(term_spans(pos[j]))
-                        normsb[ci] = norms[j]
-                if not lists:
-                    subs = None
-                    break
-                subs.append(lists[0] if len(lists) == 1 else or_spans(lists))
-            if subs is None:
-                continue
-            freqs[ci] = span_freq(matcher(subs, slop))
+            def positions_of(t, _d=d, _ci=ci):
+                got = term_data.get(t)
+                if got is None:
+                    return None
+                docs, norms, pos = got
+                j = int(np.searchsorted(docs, _d))
+                if j < docs.size and docs[j] == _d:
+                    normsb[_ci] = norms[j]
+                    return pos[j]
+                return None
+
+            spans = doc_spans(node, positions_of)
+            if spans:
+                freqs[ci] = span_freq(spans)
         mask = freqs > 0
         cand, freqs, normsb = cand[mask], freqs[mask], normsb[mask]
         if cand.size == 0:
             return empty
         idf_sum = np.float32(0.0)
-        for t in sorted({t for terms in clause_terms for t in terms}):
-            df = tps[t].n_docs
+        for t in sorted(set(span_terms(node, scoring=True, top=True))):
+            df = self._tp(t).n_docs
             idf_sum = np.float32(idf_sum + np.float32(
                 np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
             ))
@@ -600,8 +613,8 @@ class LocalSearcher:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
-        if kind == "span_near":
-            return self._eval_span_near(node)
+        if kind in ("span_near", "span_first", "span_not", "sor", "sterm"):
+            return self._eval_span(node)
         if kind == "fterm":
             return self._fterm_scores(node[1], node[2])
         if kind == "tsrange":

@@ -36,11 +36,11 @@ import heapq
 
 import numpy as np
 
-Span = tuple[int, int]  # (start, end); term spans have end = start + 1
+Span = tuple[int, int, int]  # (start, end, width); term spans: (p, p+1, 0)
 
 
 def term_spans(positions: np.ndarray) -> list[Span]:
-    return [(int(p), int(p) + 1) for p in positions]
+    return [(int(p), int(p) + 1, 0) for p in positions]
 
 
 def or_spans(span_lists: list[list[Span]]) -> list[Span]:
@@ -52,15 +52,16 @@ def or_spans(span_lists: list[list[Span]]) -> list[Span]:
     return out
 
 
-def near_ordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
-    """Widths of every NearSpansOrdered match in one doc (each sub list
-    sorted by (start, end), all non-empty)."""
+def near_ordered(sub: list[list[Span]], slop: int) -> list[Span]:
+    """Every NearSpansOrdered match in one doc as (matchStart, matchEnd,
+    matchWidth) (each sub list sorted by (start, end), all non-empty)."""
     n = len(sub)
     idx = [0] * n
-    widths: list[int] = []
+    out: list[Span] = []
     L0 = sub[0]
     while idx[0] < len(L0):
         # stretchToOrder (NearSpansOrdered.java:100-121)
+        match_start = L0[idx[0]][0]
         prev_end = L0[idx[0]][1]
         width = 0
         exhausted = False
@@ -76,14 +77,16 @@ def near_ordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
         if exhausted:
             break
         if width <= slop:
-            widths.append(width)
+            out.append((match_start, prev_end, width))
         idx[0] += 1
-    return widths
+    return out
 
 
-def near_unordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
-    """Scoring widths (maxEndCell.start - minCell.start) of every
-    NearSpansUnordered match in one doc."""
+def near_unordered(sub: list[list[Span]], slop: int) -> list[Span]:
+    """Every NearSpansUnordered match state as (minCell.start,
+    maxEndCell.end, maxEndCell.start - minCell.start) — the reference
+    scoring width deliberately differs from the slop criterion
+    (NearSpansUnordered.java:193-259)."""
     n = len(sub)
     idx = [0] * n
     # each cell positioned at its first span; heap by (start, end, cell)
@@ -96,7 +99,7 @@ def near_unordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
         if sub[i][0][1] > sub[max_i][idx[max_i]][1]:
             max_i = i
     heapq.heapify(heap)
-    widths: list[int] = []
+    out: list[Span] = []
 
     def at_match() -> bool:
         min_start = heap[0][0]
@@ -105,8 +108,8 @@ def near_unordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
 
     def record() -> None:
         min_start = heap[0][0]
-        max_cell_start = sub[max_i][idx[max_i]][0]
-        widths.append(max_cell_start - min_start)
+        mcell = sub[max_i][idx[max_i]]
+        out.append((min_start, mcell[1], mcell[0] - min_start))
 
     def advance_min() -> bool:
         nonlocal total_len, max_i
@@ -114,8 +117,9 @@ def near_unordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
         idx[i] += 1
         if idx[i] == len(sub[i]):
             return False  # this cell exhausted -> doc done
-        s, e = sub[i][idx[i]]
-        total_len += (e - s) - (sub[i][idx[i] - 1][1] - sub[i][idx[i] - 1][0])
+        s, e, _ = sub[i][idx[i]]
+        prev = sub[i][idx[i] - 1]
+        total_len += (e - s) - (prev[1] - prev[0])
         if e > sub[max_i][idx[max_i]][1]:
             max_i = i
         heapq.heappush(heap, (s, e, i))
@@ -124,18 +128,101 @@ def near_unordered_widths(sub: list[list[Span]], slop: int) -> list[int]:
     # twoPhaseCurrentDocMatches: find the first match
     while not at_match():
         if not advance_min():
-            return widths
+            return out
     record()
     # nextStartPosition loop: advance min, record on every match state
     while advance_min():
         if at_match():
             record()
-    return widths
+    return out
 
 
-def span_freq(widths: list[int]) -> np.float32:
-    """SpanScorer freq: float32 accumulation of 1/(1+width)."""
+# ------------------------------------------- composable clause evaluation
+
+def doc_spans(clause, positions_of) -> list[Span] | None:
+    """Spans of one span clause within ONE document (None = no match).
+    positions_of(term) -> sorted position ndarray for the doc, or None.
+
+    Clause grammar:
+        ("sterm", term)
+      | ("sor", [terms])                       # SpanOrQuery of terms
+      | ("span_near", [clauses], slop, in_order)
+      | ("span_first", clause, end_limit)     # SpanFirstQuery: end <= n
+      | ("span_not", incl, excl[, pre, post]) # SpanNotQuery
+    """
+    kind = clause[0]
+    if kind == "sterm":
+        p = positions_of(clause[1])
+        return term_spans(p) if p is not None and p.size else None
+    if kind == "sor":
+        lists = []
+        for t in clause[1]:
+            p = positions_of(t)
+            if p is not None and p.size:
+                lists.append(term_spans(p))
+        return or_spans(lists) if lists else None
+    if kind == "span_near":
+        subs = []
+        for c in clause[1]:
+            s = doc_spans(c, positions_of)
+            if s is None:
+                return None
+            subs.append(s)
+        m = (near_ordered if clause[3] else near_unordered)(subs, clause[2])
+        return sorted(m) or None
+    if kind == "span_first":
+        s = doc_spans(clause[1], positions_of)
+        if s is None:
+            return None
+        # SpanFirstQuery == SpanPositionRangeQuery(match, 0, n):
+        # accept spans whose endPosition() <= n
+        out = [x for x in s if x[1] <= clause[2]]
+        return out or None
+    if kind == "span_not":
+        inc = doc_spans(clause[1], positions_of)
+        if inc is None:
+            return None
+        exc = doc_spans(clause[2], positions_of) or []
+        pre = clause[3] if len(clause) > 3 else 0
+        post = clause[4] if len(clause) > 4 else 0
+        # reject a candidate when an exclude span intersects the
+        # [start - pre, end + post) window (SpanNotQuery.java:169-186)
+        out = [
+            c for c in inc
+            if not any(e[1] > c[0] - pre and e[0] < c[1] + post for e in exc)
+        ]
+        return out or None
+    raise ValueError(f"not a span clause: {kind}")
+
+
+def span_terms(clause, scoring: bool = False, top: bool = False) -> list[str]:
+    """Terms of a span clause.  scoring=True gives the terms whose idfs
+    weight the query (SpanWeight term map): a NESTED SpanNot contributes
+    only its include terms (SpanNotWeight.extractTermContexts), but a
+    TOP-LEVEL SpanNot weights include+exclude terms
+    (SpanNotQuery.createWeight getTermContexts(include, exclude))."""
+    kind = clause[0]
+    if kind == "sterm":
+        return [clause[1]]
+    if kind == "sor":
+        return list(clause[1])
+    if kind == "span_near":
+        return [t for c in clause[1] for t in span_terms(c, scoring)]
+    if kind == "span_first":
+        return span_terms(clause[1], scoring)
+    if kind == "span_not":
+        inc = span_terms(clause[1], scoring)
+        if scoring and not top:
+            return inc
+        return inc + span_terms(clause[2], scoring)
+    raise ValueError(kind)
+
+
+def span_freq(spans_or_widths) -> np.float32:
+    """SpanScorer freq: float32 accumulation of 1/(1+width) over the
+    matches (accepts (start, end, width) triples or bare widths)."""
     freq = np.float32(0.0)
-    for w in widths:
+    for x in spans_or_widths:
+        w = x[2] if isinstance(x, tuple) else x
         freq = np.float32(freq + np.float32(1.0) / np.float32(w + 1))
     return freq

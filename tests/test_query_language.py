@@ -293,20 +293,36 @@ def test_span_near_javadoc_trace():
     """NearSpansOrdered javadoc fragment: querying (t1, t2, t3) with
     slop 1 over 't1 t2 t1 t3 t2 t3' matches twice (both at width 1)."""
     from lucene_solr_spark.query.spans import (
-        near_ordered_widths, near_unordered_widths, span_freq, term_spans,
+        doc_spans, near_ordered, near_unordered, span_freq, term_spans,
     )
 
     t1 = term_spans(np.array([0, 2]))
     t2 = term_spans(np.array([1, 4]))
     t3 = term_spans(np.array([3, 5]))
-    assert near_ordered_widths([t1, t2, t3], 1) == [1, 1]
-    assert near_ordered_widths([t1, t2, t3], 0) == []
+    assert [w for _, _, w in near_ordered([t1, t2, t3], 1)] == [1, 1]
+    assert near_ordered([t1, t2, t3], 0) == []
     assert span_freq([1, 1]) == np.float32(1.0)  # 1/2 + 1/2
     # unordered: the fragment has two fully-adjacent unordered windows,
     # 't2 t1 t3' at positions 1-3 and 't1 t3 t2' at 2-4 (scoring width
     # = maxEndCell.start - minCell.start = 2 for both)
-    assert near_unordered_widths([t3, t1, t2], 0) == [2, 2]
-    assert len(near_unordered_widths([t3, t1, t2], 2)) >= 2
+    assert [w for _, _, w in near_unordered([t3, t1, t2], 0)] == [2, 2]
+    assert len(near_unordered([t3, t1, t2], 2)) >= 2
+    # composed clauses: span_first / span_not over the same fragment
+    pos = {"t1": np.array([0, 2]), "t2": np.array([1, 4]),
+           "t3": np.array([3, 5])}
+
+    def pof(t):
+        return pos.get(t)
+
+    near = ("span_near", [("sterm", "t1"), ("sterm", "t2")], 1, True)
+    assert doc_spans(near, pof) == [(0, 2, 0), (2, 5, 1)]
+    # SpanFirst: only spans ending within the first 3 positions
+    assert doc_spans(("span_first", near, 3), pof) == [(0, 2, 0)]
+    # SpanNot: drop near-matches overlapping a t3 occurrence
+    assert doc_spans(("span_not", near, ("sterm", "t3")), pof) == [(0, 2, 0)]
+    # post widens the forbidden window past the span's end: t3@3 now
+    # intersects [0, 2+2) so every near-match is excluded
+    assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
 def test_span_near_rank_identity(searcher, oracle):
@@ -325,16 +341,27 @@ def test_span_near_rank_identity(searcher, oracle):
         ([("sterm", "retry"), ("sterm", "deploy"),
           ("sterm", "pipeline")], 4, False),
     ]
+    nodes = [("span_near", c, s, o) for c, s, o in cases]
+    near_rd = ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3, True)
+    nodes += [
+        ("span_first", near_rd, 8),             # SpanFirstQuery
+        ("span_first", ("sterm", "retry"), 3),
+        ("span_not", near_rd, ("sterm", "pipeline")),       # SpanNotQuery
+        ("span_not", near_rd, ("sterm", "pipeline"), 1, 2),  # pre/post
+        ("span_not", ("sterm", "cache"), ("sterm", "miss"), 0, 1),
+        # nested near: (retry NEAR deploy) NEAR/5 pipeline
+        ("span_near", [near_rd, ("sterm", "pipeline")], 5, True),
+        ("span_near", [near_rd, ("sor", ["pipeline", "cache"])], 6, False),
+    ]
     n_nonempty = 0
-    for clauses, slop, in_order in cases:
-        node = ("span_near", clauses, slop, in_order)
+    for node in nodes:
         got = searcher.search(node, 10)
         want = oracle.search(node, 10)
         n_nonempty += bool(want)
         assert [(d, np.float32(s)) for d, s in got] == [
             (d, np.float32(s)) for d, s in want
-        ], (clauses, slop, in_order)
-    assert n_nonempty >= 5  # the cases genuinely match documents
+        ], node
+    assert n_nonempty >= 9  # the cases genuinely match documents
 
 
 def test_explain_matches_search(searcher, oracle):
