@@ -201,7 +201,9 @@ class LuceneOracle:
             return docs, (scores * np.float32(node[2])).astype(np.float32)
         if kind == "phrase":
             return self._eval_phrase(node[1], node[2] if len(node) > 2 else 0)
-        if kind in ("span_near", "span_first", "span_not", "sor", "sterm"):
+        from ..query.spans import SPAN_KINDS
+
+        if kind in SPAN_KINDS:
             return self._eval_span(node)
         if kind == "msm_or":
             # MinShouldMatchSumScorer: >= n matching SHOULD clauses,
@@ -337,8 +339,13 @@ class LuceneOracle:
             for cd in subs[1:]:
                 cand = np.intersect1d(cand, cd, assume_unique=True)
             return cand
-        if kind in ("span_first", "span_not"):
+        if kind in ("span_first", "span_not", "span_range"):
             return self._span_docs(clause[1])
+        if kind in ("span_containing", "span_within"):
+            return np.intersect1d(
+                self._span_docs(clause[1]), self._span_docs(clause[2]),
+                assume_unique=True,
+            )
         raise ValueError(kind)
 
     def _eval_span(self, node) -> tuple[np.ndarray, np.ndarray]:

@@ -307,7 +307,9 @@ class LocalSearcher:
             return [("text", t) for t in node[1]]
         if kind == "phrase":
             return [("text", t) for t, _ in node[1]]
-        if kind in ("span_near", "span_first", "span_not", "sor", "sterm"):
+        from .spans import SPAN_KINDS
+
+        if kind in SPAN_KINDS:
             from .spans import span_terms
 
             return [("text", t) for t in span_terms(node)]
@@ -346,8 +348,10 @@ class LocalSearcher:
             return self._tp(node[1]).n_docs
         if kind == "sor":
             return sum(self._tp(t).n_docs for t in node[1])
-        if kind in ("span_first", "span_not"):
+        if kind in ("span_first", "span_not", "span_range"):
             return self._cost_of(node[1])
+        if kind in ("span_containing", "span_within"):
+            return min(self._cost_of(node[1]), self._cost_of(node[2]))
         if kind == "and":
             return min(self._cost_of(c) for c in node[1])
         children = node[2] if kind == "msm_or" else node[1]
@@ -544,10 +548,15 @@ class LocalSearcher:
                     break
                 cand = cand[_sorted_isin(cand, subs[oi])]
             return cand
-        if kind in ("span_first",):
+        if kind in ("span_first", "span_not", "span_range"):
             return self._span_required_docs(clause[1])
-        if kind == "span_not":
-            return self._span_required_docs(clause[1])
+        if kind in ("span_containing", "span_within"):
+            # ConjunctionSpans(big, little): both sides must match the doc
+            big = self._span_required_docs(clause[1])
+            little = self._span_required_docs(clause[2])
+            if big.size > little.size:
+                big, little = little, big
+            return big[_sorted_isin(big, little)]
         raise ValueError(kind)
 
     def _eval_span(self, node) -> tuple[np.ndarray, np.ndarray]:
@@ -613,7 +622,9 @@ class LocalSearcher:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
-        if kind in ("span_near", "span_first", "span_not", "sor", "sterm"):
+        from .spans import SPAN_KINDS
+
+        if kind in SPAN_KINDS:
             return self._eval_span(node)
         if kind == "fterm":
             return self._fterm_scores(node[1], node[2])

@@ -38,6 +38,12 @@ import numpy as np
 
 Span = tuple[int, int, int]  # (start, end, width); term spans: (p, p+1, 0)
 
+#: every node kind evaluated by doc_spans
+SPAN_KINDS = (
+    "sterm", "sor", "span_near", "span_first", "span_not",
+    "span_containing", "span_within", "span_range",
+)
+
 
 def term_spans(positions: np.ndarray) -> list[Span]:
     return [(int(p), int(p) + 1, 0) for p in positions]
@@ -137,6 +143,57 @@ def near_unordered(sub: list[list[Span]], slop: int) -> list[Span]:
     return out
 
 
+def containing_spans(big: list[Span], little: list[Span]) -> list[Span]:
+    """SpanContainingQuery: big spans enclosing a little span, by the
+    reference's monotone two-pointer enumeration
+    (SpanContainingQuery.java getSpans nextStartPosition: iterate big;
+    advance little while little.start < big.start; emit the big span when
+    big.end >= little.end).  Source spans (and widths) are the BIG side
+    (ContainSpans.java:49-53 width() == sourceSpans.width())."""
+    out: list[Span] = []
+    li = 0
+    for b in big:
+        while little[li][0] < b[0]:
+            li += 1
+            if li == len(little):
+                return out
+        if b[1] >= little[li][1]:
+            out.append(b)
+    return out
+
+
+def within_spans(big: list[Span], little: list[Span]) -> list[Span]:
+    """SpanWithinQuery: little spans enclosed by a big span
+    (SpanWithinQuery.java getSpans: iterate little; advance big while
+    big.end < little.end; emit the little span when
+    big.start <= little.start).  Source spans are the LITTLE side."""
+    out: list[Span] = []
+    bi = 0
+    for l in little:
+        while big[bi][1] < l[1]:
+            bi += 1
+            if bi == len(big):
+                return out
+        if big[bi][0] <= l[0]:
+            out.append(l)
+    return out
+
+
+def position_range_spans(spans: list[Span], start: int, end: int
+                         ) -> list[Span]:
+    """SpanPositionRangeQuery acceptPosition
+    (SpanPositionRangeQuery.java:30-37): accept spans with
+    span.start >= start and span.end <= end; enumeration stops at the
+    first span with span.start >= end (NO_MORE_IN_CURRENT_DOC)."""
+    out: list[Span] = []
+    for s in spans:
+        if s[0] >= end:
+            break
+        if s[0] >= start and s[1] <= end:
+            out.append(s)
+    return out
+
+
 # ------------------------------------------- composable clause evaluation
 
 def doc_spans(clause, positions_of) -> list[Span] | None:
@@ -149,6 +206,9 @@ def doc_spans(clause, positions_of) -> list[Span] | None:
       | ("span_near", [clauses], slop, in_order)
       | ("span_first", clause, end_limit)     # SpanFirstQuery: end <= n
       | ("span_not", incl, excl[, pre, post]) # SpanNotQuery
+      | ("span_containing", big, little)      # SpanContainingQuery
+      | ("span_within", big, little)          # SpanWithinQuery
+      | ("span_range", clause, start, end)    # SpanPositionRangeQuery
     """
     kind = clause[0]
     if kind == "sterm":
@@ -192,6 +252,19 @@ def doc_spans(clause, positions_of) -> list[Span] | None:
             if not any(e[1] > c[0] - pre and e[0] < c[1] + post for e in exc)
         ]
         return out or None
+    if kind in ("span_containing", "span_within"):
+        big = doc_spans(clause[1], positions_of)
+        little = doc_spans(clause[2], positions_of)
+        # ConjunctionSpans doc approximation: both sides must match
+        if big is None or little is None:
+            return None
+        fn = containing_spans if kind == "span_containing" else within_spans
+        return fn(big, little) or None
+    if kind == "span_range":
+        s = doc_spans(clause[1], positions_of)
+        if s is None:
+            return None
+        return position_range_spans(s, clause[2], clause[3]) or None
     raise ValueError(f"not a span clause: {kind}")
 
 
@@ -215,6 +288,12 @@ def span_terms(clause, scoring: bool = False, top: bool = False) -> list[str]:
         if scoring and not top:
             return inc
         return inc + span_terms(clause[2], scoring)
+    if kind in ("span_containing", "span_within"):
+        # both sides weight the query: SpanContainingQuery.createWeight
+        # passes getTermContexts(bigWeight, littleWeight)
+        return span_terms(clause[1], scoring) + span_terms(clause[2], scoring)
+    if kind == "span_range":
+        return span_terms(clause[1], scoring)
     raise ValueError(kind)
 
 

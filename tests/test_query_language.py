@@ -325,6 +325,45 @@ def test_span_near_javadoc_trace():
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
+def test_span_contain_within_range_trace():
+    """SpanContaining/SpanWithin/SpanPositionRange semantics against the
+    reference's pointer enumerations (SpanContainingQuery.java getSpans,
+    SpanWithinQuery.java getSpans, SpanPositionRangeQuery.java:30-37)
+    over the fragment 't1 t2 t1 t3 t2 t3'."""
+    from lucene_solr_spark.query.spans import (
+        containing_spans, doc_spans, position_range_spans, within_spans,
+    )
+
+    pos = {"t1": np.array([0, 2]), "t2": np.array([1, 4]),
+           "t3": np.array([3, 5])}
+
+    def pof(t):
+        return pos.get(t)
+
+    near = ("span_near", [("sterm", "t1"), ("sterm", "t2")], 3, True)
+    # near spans: (0,2,0) t1@0..t2@1, (2,5,2) t1@2..t2@4
+    assert doc_spans(near, pof) == [(0, 2, 0), (2, 5, 1)]
+    # containing: near spans that enclose a t3 occurrence -> only (2,5)
+    got = doc_spans(("span_containing", near, ("sterm", "t3")), pof)
+    assert got == [(2, 5, 1)]
+    # within: t3 occurrences enclosed by a near span -> t3@3 only
+    got = doc_spans(("span_within", near, ("sterm", "t3")), pof)
+    assert got == [(3, 4, 0)]
+    # position range [1, 5): keeps spans with start>=1, end<=5
+    assert doc_spans(("span_range", near, 1, 5), pof) == [(2, 5, 1)]
+    assert doc_spans(("span_range", near, 0, 2), pof) == [(0, 2, 0)]
+    # span_first == span_range(0, n)
+    assert doc_spans(("span_first", near, 5), pof) == doc_spans(
+        ("span_range", near, 0, 5), pof
+    )
+    # raw helper enumeration (monotone little pointer, big source spans)
+    big = [(0, 4, 3), (2, 6, 3)]
+    little = [(1, 2, 0), (5, 6, 0)]
+    assert containing_spans(big, little) == [(0, 4, 3), (2, 6, 3)]
+    assert within_spans(big, little) == [(1, 2, 0), (5, 6, 0)]
+    assert position_range_spans(big, 1, 7) == [(2, 6, 3)]
+
+
 def test_span_near_rank_identity(searcher, oracle):
     """SpanNearQuery ordered/unordered with term and span-or clauses:
     engine == oracle (shared span spec, independent candidate/position
@@ -352,6 +391,17 @@ def test_span_near_rank_identity(searcher, oracle):
         # nested near: (retry NEAR deploy) NEAR/5 pipeline
         ("span_near", [near_rd, ("sterm", "pipeline")], 5, True),
         ("span_near", [near_rd, ("sor", ["pipeline", "cache"])], 6, False),
+        # containing / within / position-range over the same fragments
+        ("span_containing", near_rd, ("sterm", "pipeline")),
+        ("span_containing",
+         ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 6, False),
+         ("sor", ["pipeline", "cache"])),
+        ("span_within", near_rd, ("sterm", "retry")),
+        ("span_within",
+         ("span_near", [("sterm", "cache"), ("sterm", "miss")], 8, False),
+         ("sterm", "cache")),
+        ("span_range", ("sterm", "retry"), 2, 9),
+        ("span_range", near_rd, 1, 12),
     ]
     n_nonempty = 0
     for node in nodes:
