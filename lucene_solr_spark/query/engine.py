@@ -559,22 +559,10 @@ class LocalSearcher:
             return big[_sorted_isin(big, little)]
         raise ValueError(kind)
 
-    def _eval_span(self, node) -> tuple[np.ndarray, np.ndarray]:
-        """Span-query evaluation (SpanNear ordered/unordered, SpanOr,
-        SpanFirst, SpanNot — composable/nested): match enumeration per
-        query/spans.py (the NearSpans* spec); freq is the float32 sum of
-        1/(1+width) over the top clause's spans (SpanScorer.java:90-110);
-        BM25 weight uses the summed idf of the DEDUPLICATED scoring
-        terms (SpanWeight.buildSimWeight — a top-level SpanNot weights
-        include+exclude terms, a nested one only include)."""
-        from .spans import doc_spans, span_freq, span_terms
-
-        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
-        all_terms = sorted(set(span_terms(node)))
-        cand = self._span_required_docs(node)
-        if cand.size == 0:
-            return empty
-        # positions restricted to candidate-covering blocks
+    def _span_term_data(self, all_terms, cand):
+        """Per-term candidate alignment for span evaluation, computed
+        ONCE with vectorized searchsorted: term -> (present bool[cand],
+        row int[cand] into pos/norms, pos lists, norms)."""
         term_data = {}
         for t in all_terms:
             tp = self._tp(t)
@@ -586,24 +574,131 @@ class LocalSearcher:
             docs, _, norms, pos = tp.decode_positions_blocks(
                 np.flatnonzero(hi > lo)
             )
-            term_data[t] = (docs, norms, pos)
-        freqs = np.zeros(cand.size, dtype=np.float32)
-        normsb = np.zeros(cand.size, dtype=np.uint8)
-        for ci, d in enumerate(cand.tolist()):
-            def positions_of(t, _d=d, _ci=ci):
-                got = term_data.get(t)
-                if got is None:
-                    return None
-                docs, norms, pos = got
-                j = int(np.searchsorted(docs, _d))
-                if j < docs.size and docs[j] == _d:
-                    normsb[_ci] = norms[j]
-                    return pos[j]
-                return None
+            if docs.size == 0:
+                continue
+            row = np.searchsorted(docs, cand)
+            row[row == docs.size] = docs.size - 1
+            present = docs[row] == cand
+            term_data[t] = (present, row, pos, norms)
+        return term_data
 
-            spans = doc_spans(node, positions_of)
-            if spans:
-                freqs[ci] = span_freq(spans)
+    def _span_freqs_ordered_terms(self, clauses, slop: int, cand: np.ndarray,
+                                  term_data) -> np.ndarray:
+        """Vectorized NearSpansOrdered over ALL candidate docs at once for
+        the all-SpanTermQuery clause case (the common shape): flatten each
+        clause's candidate positions into (doc_index << 32 | pos) keys;
+        stretchToOrder is one searchsorted per later clause over all
+        clause-0 occurrences simultaneously (NearSpansOrdered.java:95-125
+        semantics, batch form).  freq accumulates per doc in enumeration
+        (start) order with EXACT float32 sequential discipline via
+        per-rank rounds, matching span_freq bit-for-bit."""
+        n = cand.size
+        terms = [c[1] for c in clauses]
+        flats, cis, keys = [], [], []
+        for t in terms:
+            present, row, pos, _ = term_data[t]
+            # every cand doc contains every clause term (cand is the
+            # conjunction), so present is all-True here
+            plists = [pos[r] for r in row.tolist()]
+            counts = np.array([p.size for p in plists], dtype=np.int64)
+            flat = (
+                np.concatenate(plists) if plists else np.empty(0, np.int64)
+            ).astype(np.int64)
+            ci = np.repeat(np.arange(n, dtype=np.int64), counts)
+            flats.append(flat)
+            cis.append(ci)
+            keys.append((ci << 32) | flat)
+        # enumerate from clause 0's occurrences
+        ci0 = cis[0]
+        width = np.zeros(ci0.size, dtype=np.int64)
+        prev_end = flats[0] + 1
+        valid = np.ones(ci0.size, dtype=bool)
+        for i in range(1, len(clauses)):
+            want = (ci0 << 32) | prev_end
+            j = np.searchsorted(keys[i], want, side="left")
+            j_c = np.minimum(j, keys[i].size - 1) if keys[i].size else j
+            ok = (keys[i].size > 0) & (j < keys[i].size)
+            ok &= cis[i][j_c] == ci0
+            valid &= ok
+            pos_i = flats[i][j_c]
+            width += np.where(valid, pos_i - prev_end, 0)
+            prev_end = np.where(valid, pos_i + 1, prev_end)
+        match = valid & (width <= slop)
+        freqs = np.zeros(n, dtype=np.float32)
+        if not match.any():
+            return freqs
+        mci = ci0[match]
+        factors = (
+            np.float32(1.0)
+            / (width[match].astype(np.float32) + np.float32(1.0))
+        ).astype(np.float32)
+        # per-doc sequential float32 accumulation, one vectorized round
+        # per within-doc match rank (matches are already in start order)
+        rank = np.arange(mci.size, dtype=np.int64)
+        first = np.concatenate(([0], np.flatnonzero(np.diff(mci)) + 1))
+        rank = rank - np.repeat(first, np.diff(np.concatenate((first, [mci.size]))))
+        for r in range(int(rank.max()) + 1):
+            sel = rank == r
+            freqs[mci[sel]] = (freqs[mci[sel]] + factors[sel]).astype(
+                np.float32
+            )
+        return freqs
+
+    def _eval_span(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """Span-query evaluation (SpanNear ordered/unordered, SpanOr,
+        SpanFirst, SpanNot, SpanContaining/Within/PositionRange —
+        composable/nested): match enumeration per query/spans.py (the
+        NearSpans* spec); freq is the float32 sum of 1/(1+width) over the
+        top clause's spans (SpanScorer.java:90-110); BM25 weight uses the
+        summed idf of the DEDUPLICATED scoring terms
+        (SpanWeight.buildSimWeight — a top-level SpanNot weights
+        include+exclude terms, a nested one only include).
+
+        The ordered all-term SpanNear (the common shape) runs through a
+        fully-vectorized batch enumeration; other shapes evaluate per
+        candidate doc against precomputed position lookups."""
+        from .spans import doc_spans, span_freq, span_terms
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
+        all_terms = sorted(set(span_terms(node)))
+        cand = self._span_required_docs(node)
+        if cand.size == 0:
+            return empty
+        term_data = self._span_term_data(all_terms, cand)
+        # norm byte per candidate: the doc's norm, from any present term
+        normsb = np.zeros(cand.size, dtype=np.uint8)
+        havenorm = np.zeros(cand.size, dtype=bool)
+        for t in all_terms:
+            got = term_data.get(t)
+            if got is None:
+                continue
+            present, row, _, norms = got
+            take = present & ~havenorm
+            normsb[take] = norms[row[take]]
+            havenorm |= present
+        if (
+            node[0] == "span_near" and node[3]
+            and all(c[0] == "sterm" for c in node[1])
+            and all(c[1] in term_data for c in node[1])
+        ):
+            freqs = self._span_freqs_ordered_terms(
+                node[1], node[2], cand, term_data
+            )
+        else:
+            freqs = np.zeros(cand.size, dtype=np.float32)
+            for ci in range(cand.size):
+                def positions_of(t, _ci=ci):
+                    got = term_data.get(t)
+                    if got is None:
+                        return None
+                    present, row, pos, _ = got
+                    if present[_ci]:
+                        return pos[row[_ci]]
+                    return None
+
+                spans = doc_spans(node, positions_of)
+                if spans:
+                    freqs[ci] = span_freq(spans)
         mask = freqs > 0
         cand, freqs, normsb = cand[mask], freqs[mask], normsb[mask]
         if cand.size == 0:
