@@ -423,20 +423,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_engine(spark, sf, f'"{t1} {t2}"')
 
     def span_near_membership(spark, sf):
-        # SpanNearQuery(ordered, slop=3) membership through the serving
-        # engine: for 2 clauses, a doc matches iff some position pair
-        # (pa < pb) has pb - pa - 1 <= slop (the stretchToOrder minimum
-        # width argument) — exactly SQL-checkable; span SCORES
-        # (1/(1+width) sums) are locked by the rank-identity suite
-        from lucene_solr_spark.query.engine import LocalSearcher
-
-        idx = _ensure_index(spark, sf)
+        # SpanNearQuery(ordered, slop=3) membership through the
+        # DISTRIBUTED DataFrame plan (pruned position scan -> candidate
+        # conjunction -> executor-side span kernel): for 2 clauses, a
+        # doc matches iff some position pair (pa < pb) has
+        # pb - pa - 1 <= slop (the stretchToOrder minimum width
+        # argument) — exactly SQL-checkable; span SCORES (1/(1+width)
+        # sums) are locked by the rank-identity suite
         t1, t2 = _PHRASE
         node = ("span_near", [("sterm", t1), ("sterm", t2)], 3, True)
-        hits = LocalSearcher(idx).search(node, k=None)
-        return spark.createDataFrame(
-            [(int(d),) for d, _ in hits] or [], "doc_id long"
-        )
+        return _engine64(spark, sf).matching_docs_df(node)
+
+    def span_within_membership(spark, sf):
+        # SpanWithinQuery(big=near(table,hash,~5,ordered), little=scan):
+        # docs where a 'scan' occurrence is enclosed by a near span.
+        # The pointer enumeration (SpanWithinQuery.java getSpans) picks,
+        # per little span, the minimal-start big with end >= little.end,
+        # so membership == declarative enclosure — SQL-checkable.
+        t1, t2 = _PHRASE
+        near = ("span_near", [("sterm", t1), ("sterm", t2)], 5, True)
+        node = ("span_within", near, ("sterm", "scan"))
+        return _engine64(spark, sf).matching_docs_df(node)
+
+    def span_field_filter(spark, sf):
+        # span clause + keyword-field Occur.FILTER in one boolean tree
+        # (VERDICT r2 item 7): role:user docs with an ordered near match
+        t1, t2 = _PHRASE
+        near = ("span_near", [("sterm", t1), ("sterm", t2)], 3, True)
+        node = ("reqfilter", near, ("fterm", "role", "user"))
+        return _engine64(spark, sf).matching_docs_df(node)
 
     def phrase_sloppy(spark, sf):
         # sloppy-phrase MEMBERSHIP (all docs where "t1 t2"~2 matches):
@@ -708,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": bm25_msm,
         "phrase_sloppy": phrase_sloppy,
         "span_near_membership": span_near_membership,
+        "span_within_membership": span_within_membership,
+        "span_field_filter": span_field_filter,
         "facet_top_terms": facet_top_terms,
         "prefix_expand": prefix_expand,
         "field_term_stats": field_term_stats,
@@ -1102,6 +1119,29 @@ SELECT DISTINCT a.doc_id
 FROM (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[0]}') a
 JOIN (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[1]}') b USING (doc_id)
 WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+""",
+        "span_within_membership": f"""
+WITH {_PTOK_CTE},
+spans AS (
+  SELECT a.doc_id, a.pos AS pa, MIN(b.pos) AS pb
+  FROM (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[0]}') a
+  JOIN (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[1]}') b
+    ON b.doc_id = a.doc_id AND b.pos >= a.pos + 1
+  GROUP BY a.doc_id, a.pos
+  HAVING MIN(b.pos) - a.pos - 1 <= 5
+)
+SELECT DISTINCT s.doc_id
+FROM spans s
+JOIN (SELECT doc_id, pos FROM ptok WHERE t = 'scan') c
+  ON c.doc_id = s.doc_id AND c.pos BETWEEN s.pa AND s.pb
+""",
+        "span_field_filter": f"""
+WITH {_PTOK_CTE}
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[0]}') a
+JOIN (SELECT doc_id, pos FROM ptok WHERE t = '{_PHRASE[1]}') b USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+  AND a.doc_id % 3 = 0
 """,
         "bm25_msm": _bm25_msm_oracle_sql(),
         "stream_select_having": """

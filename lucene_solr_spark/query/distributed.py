@@ -424,11 +424,144 @@ class DistributedSearcher:
             score_phrase, f"doc_id long, score {st}, cidx int"
         )
 
+    def _span_cand_df(self, clause, pos_df: DataFrame) -> DataFrame:
+        """DF(doc_id) of docs that can match a span clause — the
+        two-phase doc-level approximation built from the shared position
+        scan: term -> its posting docs, or -> union, near -> conjunction
+        (inner join), containing/within -> ConjunctionSpans(big, little),
+        first/range/not -> the match/include side."""
+        kind = clause[0]
+        if kind == "sterm":
+            return pos_df.filter(F.col("term") == clause[1]).select("doc_id")
+        if kind == "sor":
+            return (
+                pos_df.filter(F.col("term").isin(list(clause[1])))
+                .select("doc_id")
+                .distinct()
+            )
+        if kind == "span_near":
+            out = None
+            for c in clause[1]:
+                cd = self._span_cand_df(c, pos_df)
+                out = cd if out is None else out.join(cd, "doc_id", "left_semi")
+            return out
+        if kind in ("span_first", "span_not", "span_range"):
+            return self._span_cand_df(clause[1], pos_df)
+        if kind in ("span_containing", "span_within"):
+            return self._span_cand_df(clause[1], pos_df).join(
+                self._span_cand_df(clause[2], pos_df), "doc_id", "left_semi"
+            )
+        raise ValueError(kind)
+
+    def _span_plan(self, node, clause_idx: list[int]) -> DataFrame:
+        """Distributed span execution (SpanWeight.java /
+        NearSpansOrdered.java:88-118 / SpanScorer.java:90-110 — VERDICT
+        r2 item 1): ONE pruned position scan for every span term, a
+        doc-level candidate conjunction/union per the clause tree, then
+        an Arrow-batched kernel enumerates matches per doc with the
+        shared span spec (query/spans.py doc_spans) and scores the
+        float32 freq = sum 1/(1+width).  The kernel runs on executors
+        over only the candidate docs — no driver-side evaluation."""
+        from .spans import doc_spans, span_freq, span_terms
+
+        i = clause_idx[0]
+        clause_idx[0] += 1
+        all_terms = sorted(set(span_terms(node)))
+        pos_df = self._phrase_positions_df(all_terms)
+        cand = self._span_cand_df(node, pos_df)
+        agg = (
+            pos_df.join(cand, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.collect_list(F.struct("term", "pos")).alias("tp"),
+                F.min("norm").alias("norm"),
+            )
+        )
+        if self.dtype == "float64":
+            dl_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "dl")
+            agg = agg.join(dl_df, "doc_id")
+        # scoring weight: summed idf of the DEDUPLICATED scoring terms
+        # (SpanWeight.buildSimWeight term map)
+        sterms = sorted(set(span_terms(node, scoring=True, top=True)))
+        dfs = {
+            r["term"]: int(r["doc_freq"])
+            for r in self._text_stats.filter(F.col("term").isin(sterms))
+            .collect()
+        }
+        dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
+        dtype, st = self.dtype, self._st
+        if dtype == "float32":
+            k1f = np.float32(self.k1)
+            bf = np.float32(self.b)
+            avgdl_f = (
+                np.float32(self.sum_ttf / float(dc))
+                if self.sum_ttf > 0 else np.float32(1.0)
+            )
+            cache = (
+                k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / avgdl_f)
+            ).astype(np.float32)
+            idf_sum = np.float32(0.0)
+            for t in sterms:
+                df_t = dfs.get(t, 0)
+                idf_sum = np.float32(idf_sum + np.float32(
+                    np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5))
+                ))
+            wv = np.float32(idf_sum * (k1f + np.float32(1.0)))
+        else:
+            idf_sum_d = sum(
+                math.log(1.0 + (dc - dfs.get(t, 0) + 0.5)
+                         / (dfs.get(t, 0) + 0.5))
+                for t in sterms
+            )
+
+        def score_spans(batches):
+            for pdf in batches:
+                n = len(pdf)
+                freqs = np.zeros(n, dtype=np.float32)
+                tps = pdf["tp"].tolist()
+                for r in range(n):
+                    pos_map = {
+                        e["term"]: np.asarray(e["pos"], dtype=np.int64)
+                        for e in tps[r]
+                    }
+                    spans = doc_spans(node, lambda t: pos_map.get(t))
+                    if spans:
+                        freqs[r] = span_freq(spans)
+                keep = freqs > 0
+                if dtype == "float32":
+                    norms = pdf["norm"].to_numpy().astype(np.uint8)
+                    sc = (wv * freqs / (freqs + cache[norms])).astype(
+                        np.float32
+                    )
+                else:
+                    dl = pdf["dl"].to_numpy().astype(np.float64)
+                    fq = freqs.astype(np.float64)
+                    sc = (
+                        idf_sum_d * (k1d + 1.0) * fq
+                        / (fq + k1d * ((1.0 - bd) + bd * dl / avgdl_d))
+                    )
+                out = pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].to_numpy()[keep],
+                     "score": sc[keep]}
+                )
+                out["cidx"] = i
+                yield out
+
+        return agg.mapInPandas(
+            score_spans, f"doc_id long, score {st}, cidx int"
+        )
+
     def _plan(self, node, scored: DataFrame, clause_idx: list[int]) -> DataFrame:
         """Recursively build DF(doc_id, score, cidx) for a query node
         (score typed per self.dtype)."""
+        from .spans import SPAN_KINDS
+
         st = self._st
         kind = node[0]
+        if kind in SPAN_KINDS:
+            return self._span_plan(node, clause_idx)
         if kind == "term":
             i = clause_idx[0]
             clause_idx[0] += 1
@@ -748,8 +881,12 @@ class DistributedSearcher:
 
 def _terms_of(node) -> list[str]:
     """Text-field terms the shared scored-terms scan must cover (fterm /
-    tsrange nodes plan their own pruned scans)."""
+    tsrange / span nodes plan their own pruned scans)."""
+    from .spans import SPAN_KINDS
+
     kind = node[0]
+    if kind in SPAN_KINDS:
+        return []
     if kind == "term":
         return [node[1]]
     if kind == "const_or":

@@ -63,6 +63,38 @@ def test_distributed_rank_identity_sample(spark, index_dir, oracle, query_set):
         _assert_identical(f"dist:{name}", got, want)
 
 
+def test_distributed_span_rank_identity(spark, index_dir, local_searcher):
+    """Span queries execute through the DistributedSearcher DataFrame
+    plan (VERDICT r2 item 1) rank-identically to the local serving path
+    — every span shape, including the new contain/within/range ones."""
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    ds = DistributedSearcher(spark, index_dir)
+    near_rd = ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3,
+               True)
+    nodes = [
+        near_rd,
+        ("span_near", [("sterm", "deploy"), ("sterm", "retry")], 2, False),
+        ("span_near", [("sor", ["retry", "cache"]), ("sterm", "deploy")],
+         2, True),
+        ("span_first", near_rd, 8),
+        ("span_not", near_rd, ("sterm", "pipeline"), 1, 2),
+        ("span_near", [near_rd, ("sterm", "pipeline")], 5, True),
+        ("span_containing", near_rd, ("sterm", "retry")),
+        ("span_within",
+         ("span_near", [("sterm", "cache"), ("sterm", "miss")], 8, False),
+         ("sterm", "cache")),
+        ("span_range", near_rd, 1, 12),
+    ]
+    n_nonempty = 0
+    for node in nodes:
+        want = local_searcher.search(node, K)
+        got = ds.search(node, K)
+        n_nonempty += bool(want)
+        _assert_identical(f"dist-span:{node[0]}", got, want)
+    assert n_nonempty >= 6
+
+
 def test_various_k(local_searcher, oracle, query_set):
     node = parse_query(query_set[0][1])
     for k in (1, 3, 25, 100, 10_000):
