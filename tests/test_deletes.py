@@ -71,6 +71,29 @@ def test_tombstones_mask_rank_identically(spark, del_setup):
     assert p1 + p2 == full[:8]
 
 
+def test_distributed_deletes_never_materialize_on_driver(spark, del_setup):
+    """The distributed delete mask is a parquet-scan anti-join: the
+    tombstone table reaches the plan as a FileScan, never as a
+    LocalTableScan built from a driver-side Python list (VERDICT r2
+    item 4 — billions of tombstones must not transit the driver)."""
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    d, _ = del_setup
+    qe = DistributedSearcher(spark, d).search_df(QUERY, 10)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    # the delete mask is a LeftAnti join whose right side is the deletes
+    # parquet relation (a doc_id-only scan), never a LocalTableScan of a
+    # collected Python list
+    assert "Join LeftAnti" in plan
+    assert any(
+        "Relation [doc_id#" in line and "parquet" in line
+        for line in plan.splitlines()
+    )
+    assert "LocalTableScan" not in plan
+    # and the physical scan really reads the deletes/ directory
+    assert "deletes" in qe.executedPlan().toString()
+
+
 def test_compaction_applies_deletes(spark, del_setup, tmp_path):
     from lucene_solr_spark.index.builder import (
         compact_index, read_field_stats, validate_index,
