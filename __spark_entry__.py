@@ -453,6 +453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = ("reqfilter", near, ("fterm", "role", "user"))
         return _engine64(spark, sf).matching_docs_df(node)
 
+    def phrase_sloppy_repeats(spark, sf):
+        # repeated-term sloppy phrase (the hasRpts path,
+        # SloppyPhraseScorer.java:147-256): membership is SQL-checkable
+        # as an exists over distinct-position assignments (equivalence
+        # with the greedy enumeration locked by the randomized
+        # brute-force test in tests/test_query_language.py)
+        return _engine64(spark, sf).matching_docs_df('"stream join stream"~4')
+
     def phrase_sloppy(spark, sf):
         # sloppy-phrase MEMBERSHIP (all docs where "t1 t2"~2 matches):
         # SQL-checkable because for a 2-term phrase freq>0 iff some
@@ -722,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mixed": bm25_mixed,
         "bm25_msm": bm25_msm,
         "phrase_sloppy": phrase_sloppy,
+        "phrase_sloppy_repeats": phrase_sloppy_repeats,
         "span_near_membership": span_near_membership,
         "span_within_membership": span_within_membership,
         "span_field_filter": span_field_filter,
@@ -1113,6 +1122,16 @@ ORDER BY raw DESC, vec_id LIMIT 10
 """,
         "phrase_query": _phrase_oracle_sql(),
         "phrase_sloppy": _phrase_sloppy_oracle_sql(2),
+        "phrase_sloppy_repeats": f"""
+WITH {_PTOK_CTE}
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM ptok WHERE t = 'stream') a
+JOIN (SELECT doc_id, pos FROM ptok WHERE t = 'join') b USING (doc_id)
+JOIN (SELECT doc_id, pos FROM ptok WHERE t = 'stream') c USING (doc_id)
+WHERE a.pos <> c.pos
+  AND GREATEST(a.pos, b.pos - 1, c.pos - 2)
+      - LEAST(a.pos, b.pos - 1, c.pos - 2) <= 4
+""",
         "span_near_membership": f"""
 WITH {_PTOK_CTE}
 SELECT DISTINCT a.doc_id

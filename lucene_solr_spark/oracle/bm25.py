@@ -296,14 +296,15 @@ class LuceneOracle:
                 freqs[ci] = base.size
             freqs = freqs.astype(np.float32)
         else:
-            from ..query.sloppy import sloppy_freq
+            from ..query.sloppy import repeat_groups, sloppy_freq
 
             rels = [rel for _, _, rel in datas]
+            groups = repeat_groups([t for t, _ in clauses])
             freqs = np.zeros(cand.size, dtype=np.float32)
             for ci in range(cand.size):
                 freqs[ci] = sloppy_freq(
                     [pos[loc[ci]] - rel for loc, pos, rel in locs],
-                    rels, slop,
+                    rels, slop, groups,
                 )
         mask = freqs > 0
         cand, freqs = cand[mask], freqs[mask]

@@ -383,6 +383,10 @@ class DistributedSearcher:
                 for t in terms
             )
 
+        from .sloppy import repeat_groups
+
+        groups = repeat_groups(terms)
+
         def score_phrase(batches):
             from .sloppy import sloppy_freq
 
@@ -403,7 +407,7 @@ class DistributedSearcher:
                                 break
                         freqs[r] = np.count_nonzero(base >= 0)
                     else:
-                        freqs[r] = sloppy_freq(arrs, rels, slop)
+                        freqs[r] = sloppy_freq(arrs, rels, slop, groups)
                 keep = freqs > 0
                 if dtype == "float32":
                     norms = pdf["norm"].to_numpy().astype(np.uint8)

@@ -439,13 +439,15 @@ class LocalSearcher:
                 else np.zeros(cand.size, dtype=np.float32)
             )
         else:
-            from .sloppy import sloppy_freq
+            from .sloppy import repeat_groups, sloppy_freq
 
             rels = [rel for _, rel in datas]
+            groups = repeat_groups([t for t, _ in clauses])
             freqs = np.zeros(cand.size, dtype=np.float32)
             for ci in range(cand.size):
                 freqs[ci] = sloppy_freq(
-                    [pl[ci] - rel for (pl, rel) in datas], rels, slop
+                    [pl[ci] - rel for (pl, rel) in datas], rels, slop,
+                    groups,
                 )
         mask = freqs > 0
         cand, freqs, norms0 = cand[mask], freqs[mask], norms0[mask]

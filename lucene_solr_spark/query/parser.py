@@ -298,11 +298,6 @@ class _Parser:
                 return None
             if len(terms) == 1:
                 return ("term", terms[0])  # 1-term phrase -> TermQuery
-            if slop > 0 and len(set(terms)) < len(terms):
-                raise QueryParseError(
-                    "sloppy phrase with repeated terms not supported "
-                    "(reference hasRpts path, SloppyPhraseScorer.java)"
-                )
             base = poss[0]
             clauses = [(tm, p - base) for tm, p in zip(terms, poss)]
             if slop > 0:

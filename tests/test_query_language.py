@@ -57,8 +57,10 @@ def test_parser_shapes():
         "phrase", [("big", 0), ("cat", 1)], 2
     )
     assert parse_query('"big cat"~0') == ("phrase", [("big", 0), ("cat", 1)])
-    with pytest.raises(QueryParseError):
-        parse_query('"big cat big"~1')  # repeated-term sloppy (hasRpts)
+    # repeated-term sloppy phrases parse (hasRpts path, r3)
+    assert parse_query('"big cat big"~1') == (
+        "phrase", [("big", 0), ("cat", 1), ("big", 2)], 1
+    )
     # minimumNumberShouldMatch groups
     assert parse_query("(cat dog bird)@2") == (
         "msm_or", 2,
@@ -323,6 +325,86 @@ def test_span_near_javadoc_trace():
     # post widens the forbidden window past the span's end: t3@3 now
     # intersects [0, 2+2) so every near-match is excluded
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
+
+
+def test_sloppy_repeats_traces():
+    """hasRpts path (SloppyPhraseScorer.java:147-256): hand-traced docs
+    — repeat groups stagger to distinct occurrences at init, collisions
+    advance the lesser pp, exhaustion of a group member ends the doc."""
+    from lucene_solr_spark.query.sloppy import repeat_groups, sloppy_freq
+
+    def freq_for(tokens, phrase, slop):
+        pos: dict = {}
+        for i, t in enumerate(tokens):
+            pos.setdefault(t, []).append(i)
+        rels = list(range(len(phrase)))
+        adjusted = [
+            np.array(pos.get(t, []), dtype=np.int64) - r
+            for t, r in zip(phrase, rels)
+        ]
+        if any(a.size == 0 for a in adjusted):
+            return 0.0
+        return float(sloppy_freq(adjusted, rels, slop,
+                                 repeat_groups(list(phrase))))
+
+    assert repeat_groups(["a", "b", "a"]) == [[0, 2]]
+    assert repeat_groups(["a", "b", "c"]) == []
+    # exact repeat match: window length 0 -> slopFactor 1
+    assert freq_for(list("aba"), ("a", "b", "a"), 4) == 1.0
+    # one gap: a@0 b@1 a@3 -> matchLength 1 -> 1/2
+    assert freq_for(list("abca"), ("a", "b", "a"), 2) == 0.5
+    # reordered: b@0 a@1 a@2 -> matchLength 2 -> 1/3
+    assert freq_for(list("baa"), ("a", "b", "a"), 3) == np.float32(
+        np.float32(1.0) / np.float32(3.0)
+    )
+    # a single 'a' cannot serve two clauses (group stagger exhausts)
+    assert freq_for(list("ab"), ("a", "b", "a"), 5) == 0.0
+    assert freq_for(list("aa"), ("a", "a"), 0) == 1.0
+    # membership == brute-force exists over distinct-position
+    # assignments (the SQL-checkable criterion the gate relies on)
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    for _ in range(400):
+        tokens = [rng.choice("abc") for _ in range(rng.randint(2, 9))]
+        phrase = rng.choice(
+            [("a", "b", "a"), ("a", "a"), ("a", "b", "b", "a"),
+             ("a", "a", "b")]
+        )
+        slop = rng.randint(0, 5)
+        pos: dict = {}
+        for i, t in enumerate(tokens):
+            pos.setdefault(t, []).append(i)
+        cands = [pos.get(t, []) for t in phrase]
+        want = any(
+            len(set(c)) == len(c)
+            and max(p - r for p, r in zip(c, range(len(c))))
+            - min(p - r for p, r in zip(c, range(len(c)))) <= slop
+            for c in itertools.product(*cands)
+        ) if all(cands) else False
+        assert (freq_for(tokens, phrase, slop) > 0) == want, (
+            tokens, phrase, slop
+        )
+
+
+def test_sloppy_repeats_rank_identity(searcher, oracle):
+    """Repeated-term sloppy phrases through the full engine path
+    (parser -> candidate intersection -> hasRpts freq -> BM25) match
+    the numpy oracle twin."""
+    queries = ['"busu0 ralove busu0"~4', '"busu0 busu0"~4',
+               '"ralove ralove"~5', '"busu0 tate busu0"~5',
+               '"retry deploy retry"~3']
+    n_nonempty = 0
+    for q in queries:
+        node = parse_query(q)
+        got = searcher.search(node, 10)
+        want = oracle.search(node, 10)
+        n_nonempty += bool(want)
+        assert [(d, np.float32(s)) for d, s in got] == [
+            (d, np.float32(s)) for d, s in want
+        ], q
+    assert n_nonempty >= 3
 
 
 def test_span_contain_within_range_trace():
