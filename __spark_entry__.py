@@ -274,6 +274,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_term_hi(spark, sf):
         return _topk_engine(spark, sf, "batch")
 
+    def tfidf_term_topk(spark, sf):
+        # ClassicSimilarity (TF-IDF) as a second query-time Similarity
+        # over the SAME index: score = sqrt(tf) * idf / sqrt(dl) in the
+        # exact gate mode (ClassicSimilarity.java:50-79; norm is the
+        # exact 1/sqrt(dl) in float64 mode, the quantized byte path is
+        # locked by the pytest rank-identity suite)
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64",
+                                 similarity="classic")
+        return (
+            ds.search_df("batch", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
     def bm25_term_rare(spark, sf):
         return _topk_engine(spark, sf, "dup")
 
@@ -724,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": doc_lengths,
         "doc_norm_bytes": doc_norm_bytes,
         "bm25_term_hi": bm25_term_hi,
+        "tfidf_term_topk": tfidf_term_topk,
         "bm25_term_rare": bm25_term_rare,
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
@@ -1001,6 +1018,16 @@ WITH {_TOK_CTE}
 SELECT doc_id, ({nb_case})::INT AS norm_byte FROM dls
 """,
         "bm25_term_hi": _bm25_term_sql("batch"),
+        "tfidf_term_topk": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id,
+         sqrt(tf) * (ln((fs.doc_count + 1.0) / (ts.doc_freq + 1.0)) + 1.0)
+         / sqrt(dl) AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
         "bm25_term_rare": _bm25_term_sql("dup"),
         "bm25_and": f"""
 WITH {_TOK_CTE}

@@ -43,12 +43,20 @@ from .parser import parse_query
 
 
 class DistributedSearcher:
+    """`similarity` mirrors LocalSearcher: "bm25" (default, k1/b from
+    the index params) or "classic" (TF-IDF, ClassicSimilarity.java —
+    sqrt(tf) * (ln((docCount+1)/(docFreq+1))+1) * norm, where norm is
+    byte315ToFloat(norm byte) in serving mode and the exact 1/sqrt(dl)
+    in float64 gate mode)."""
+
     def __init__(self, spark: SparkSession, index_dir: str,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", similarity: str = "bm25"):
         assert dtype in ("float32", "float64")
+        assert similarity in ("bm25", "classic")
         self.spark = spark
         self.index_dir = index_dir
         self.dtype = dtype
+        self.similarity = similarity
         #: Spark SQL type of the score column in every plan node
         self._st = "float" if dtype == "float32" else "double"
         with open(os.path.join(index_dir, "_manifest.json")) as f:
@@ -137,9 +145,10 @@ class DistributedSearcher:
         )
 
     def _scored_terms_df_double(self, terms: list[str]) -> DataFrame:
-        """Gate-mode per-term scores: double-precision BM25 from exact
-        tf/df/dl (docmap doc length, not the quantized norm byte) —
-        bit-stable against an ANSI-SQL twin."""
+        """Gate-mode per-term scores: double-precision scoring from
+        exact tf/df/dl (docmap doc length, not the quantized norm byte)
+        — bit-stable against an ANSI-SQL twin; formula per
+        self.similarity."""
         tp = self._decoded_tf_df(terms)
         ts = (
             self._text_stats.filter(F.col("term").isin(terms))
@@ -149,11 +158,15 @@ class DistributedSearcher:
             os.path.join(self.index_dir, "docmap")
         ).select("doc_id", "dl")
         dc, avgdl, k1, b = self.doc_count, self._avgdl, self.k1, self.b
-        return (
-            tp.join(F.broadcast(ts), "term")
-            .join(dl, "doc_id")
-            .withColumn(
-                "score",
+        if self.similarity == "classic":
+            score = (
+                F.sqrt(F.col("tf").cast("double"))
+                * (F.log((F.lit(dc) + 1.0) / (F.col("doc_freq") + 1.0))
+                   + F.lit(1.0))
+                / F.sqrt(F.col("dl").cast("double"))
+            )
+        else:
+            score = (
                 F.log(F.lit(1.0) + (F.lit(dc) - F.col("doc_freq") + 0.5)
                       / (F.col("doc_freq") + 0.5))
                 * F.lit(k1 + 1.0)
@@ -162,8 +175,12 @@ class DistributedSearcher:
                     F.col("tf").cast("double")
                     + F.lit(k1) * (F.lit(1.0 - b)
                                    + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                ),
+                )
             )
+        return (
+            tp.join(F.broadcast(ts), "term")
+            .join(dl, "doc_id")
+            .withColumn("score", score)
             .select("term", "doc_id", "score")
         )
 
@@ -193,8 +210,15 @@ class DistributedSearcher:
             np.float32
         )
         bc_dfs = self.spark.sparkContext.broadcast(dfs)
+        classic = self.similarity == "classic"
 
         def score_blocks(batches):
+            from ..oracle.smallfloat import byte315_to_float
+
+            cnorm = (
+                byte315_to_float(np.arange(256, dtype=np.uint8))
+                if classic else None
+            )
             wv_cache: dict[str, np.float32] = {}
             for pdf in batches:
                 outs = []
@@ -212,13 +236,28 @@ class DistributedSearcher:
                     wv = wv_cache.get(row.term)
                     if wv is None:
                         df_t = bc_dfs.value.get(row.term, 0)
-                        idf = np.float32(
-                            np.log(1 + (doc_count - df_t + 0.5) / (df_t + 0.5))
-                        )
-                        wv = np.float32(idf * (k1 + np.float32(1.0)))
+                        if classic:
+                            wv = np.float32(
+                                np.log((doc_count + 1) / float(df_t + 1))
+                                + 1.0
+                            )
+                        else:
+                            idf = np.float32(
+                                np.log(1 + (doc_count - df_t + 0.5)
+                                       / (df_t + 0.5))
+                            )
+                            wv = np.float32(idf * (k1 + np.float32(1.0)))
                         wv_cache[row.term] = wv
                     freq = tfs.astype(np.float32)
-                    sc = (wv * freq / (freq + cache[norms])).astype(np.float32)
+                    if classic:
+                        raw = (np.sqrt(freq, dtype=np.float32) * wv).astype(
+                            np.float32
+                        )
+                        sc = (raw * cnorm[norms]).astype(np.float32)
+                    else:
+                        sc = (wv * freq / (freq + cache[norms])).astype(
+                            np.float32
+                        )
                     outs.append(
                         pd.DataFrame(
                             {"term": row.term, "doc_id": docs, "score": sc}
@@ -250,7 +289,15 @@ class DistributedSearcher:
         from ..index.builder import read_field_stats
 
         dc_f = int(read_field_stats(self.index_dir, field)["doc_count"] or 0)
-        if self.dtype == "float32":
+        if self.similarity == "classic":
+            # norms == null -> raw = tf(1) * idf (TFIDFSimScorer)
+            if self.dtype == "float32":
+                sc = float(np.float32(
+                    np.log((dc_f + 1) / float(df_t + 1)) + 1.0
+                ))
+            else:
+                sc = math.log((dc_f + 1.0) / (df_t + 1.0)) + 1.0
+        elif self.dtype == "float32":
             k1 = np.float32(self.k1)
             idf = np.float32(np.log(1 + (dc_f - df_t + 0.5) / (df_t + 0.5)))
             wv = np.float32(idf * (k1 + np.float32(1.0)))
@@ -360,6 +407,7 @@ class DistributedSearcher:
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
         dtype = self.dtype
         st = self._st
+        classic = self.similarity == "classic"
         if dtype == "float32":
             k1f = np.float32(self.k1)
             bf = np.float32(self.b)
@@ -373,12 +421,19 @@ class DistributedSearcher:
             idf_sum = np.float32(0.0)
             for t in terms:
                 df_t = dfs.get(t, 0)
-                idf_sum = np.float32(idf_sum + np.float32(
-                    np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5))
+                idf_sum = np.float32(idf_sum + (
+                    np.float32(np.log((dc + 1) / float(df_t + 1)) + 1.0)
+                    if classic else
+                    np.float32(np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5)))
                 ))
-            wv = np.float32(idf_sum * (k1f + np.float32(1.0)))
+            wv = (
+                idf_sum if classic
+                else np.float32(idf_sum * (k1f + np.float32(1.0)))
+            )
         else:
             idf_sum_d = sum(
+                (math.log((dc + 1.0) / (dfs.get(t, 0) + 1.0)) + 1.0)
+                if classic else
                 math.log(1.0 + (dc - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
                 for t in terms
             )
@@ -409,18 +464,12 @@ class DistributedSearcher:
                     else:
                         freqs[r] = sloppy_freq(arrs, rels, slop, groups)
                 keep = freqs > 0
-                if dtype == "float32":
-                    norms = pdf["norm"].to_numpy().astype(np.uint8)
-                    sc = (wv * freqs / (freqs + cache[norms])).astype(
-                        np.float32
-                    )
-                else:
-                    dl = pdf["dl"].to_numpy().astype(np.float64)
-                    fq = freqs.astype(np.float64)
-                    sc = (
-                        idf_sum_d * (k1d + 1.0) * fq
-                        / (fq + k1d * ((1.0 - bd) + bd * dl / avgdl_d))
-                    )
+                sc = _score_freq_batch(
+                    freqs, pdf, classic, dtype, wv if dtype == "float32"
+                    else None, cache if dtype == "float32" else None,
+                    idf_sum_d if dtype == "float64" else None,
+                    k1d, bd, avgdl_d,
+                )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
                      "score": sc[keep]}
@@ -500,6 +549,7 @@ class DistributedSearcher:
         }
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
         dtype, st = self.dtype, self._st
+        classic = self.similarity == "classic"
         if dtype == "float32":
             k1f = np.float32(self.k1)
             bf = np.float32(self.b)
@@ -513,12 +563,19 @@ class DistributedSearcher:
             idf_sum = np.float32(0.0)
             for t in sterms:
                 df_t = dfs.get(t, 0)
-                idf_sum = np.float32(idf_sum + np.float32(
-                    np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5))
+                idf_sum = np.float32(idf_sum + (
+                    np.float32(np.log((dc + 1) / float(df_t + 1)) + 1.0)
+                    if classic else
+                    np.float32(np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5)))
                 ))
-            wv = np.float32(idf_sum * (k1f + np.float32(1.0)))
+            wv = (
+                idf_sum if classic
+                else np.float32(idf_sum * (k1f + np.float32(1.0)))
+            )
         else:
             idf_sum_d = sum(
+                (math.log((dc + 1.0) / (dfs.get(t, 0) + 1.0)) + 1.0)
+                if classic else
                 math.log(1.0 + (dc - dfs.get(t, 0) + 0.5)
                          / (dfs.get(t, 0) + 0.5))
                 for t in sterms
@@ -538,18 +595,12 @@ class DistributedSearcher:
                     if spans:
                         freqs[r] = span_freq(spans)
                 keep = freqs > 0
-                if dtype == "float32":
-                    norms = pdf["norm"].to_numpy().astype(np.uint8)
-                    sc = (wv * freqs / (freqs + cache[norms])).astype(
-                        np.float32
-                    )
-                else:
-                    dl = pdf["dl"].to_numpy().astype(np.float64)
-                    fq = freqs.astype(np.float64)
-                    sc = (
-                        idf_sum_d * (k1d + 1.0) * fq
-                        / (fq + k1d * ((1.0 - bd) + bd * dl / avgdl_d))
-                    )
+                sc = _score_freq_batch(
+                    freqs, pdf, classic, dtype, wv if dtype == "float32"
+                    else None, cache if dtype == "float32" else None,
+                    idf_sum_d if dtype == "float64" else None,
+                    k1d, bd, avgdl_d,
+                )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
                      "score": sc[keep]}
@@ -885,6 +936,31 @@ class DistributedSearcher:
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+
+
+def _score_freq_batch(freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
+                      k1d, bd, avgdl_d):
+    """Shared phrase/span freq->score kernel per similarity and mode:
+    float32 serving (quantized norm byte) or float64 gate (exact dl)."""
+    if dtype == "float32":
+        if classic:
+            from ..oracle.smallfloat import byte315_to_float
+
+            cnorm = byte315_to_float(
+                pdf["norm"].to_numpy().astype(np.uint8)
+            )
+            raw = (np.sqrt(freqs, dtype=np.float32) * wv).astype(np.float32)
+            return (raw * cnorm).astype(np.float32)
+        norms = pdf["norm"].to_numpy().astype(np.uint8)
+        return (wv * freqs / (freqs + cache[norms])).astype(np.float32)
+    dl = pdf["dl"].to_numpy().astype(np.float64)
+    fq = freqs.astype(np.float64)
+    if classic:
+        return np.sqrt(fq) * idf_sum_d / np.sqrt(dl)
+    return (
+        idf_sum_d * (k1d + 1.0) * fq
+        / (fq + k1d * ((1.0 - bd) + bd * dl / avgdl_d))
+    )
 
 
 def _terms_of(node) -> list[str]:

@@ -131,11 +131,25 @@ class _TermPostings:
 
 
 class LocalSearcher:
-    """Serve top-k BM25 boolean queries from a built index directory."""
+    """Serve top-k boolean queries from a built index directory.
 
-    def __init__(self, index_dir: str, pruning: bool = True):
+    `similarity` picks the scoring model at query time (both decode the
+    same floatToByte315 norm byte, so no reindex is needed — exactly the
+    reference's IndexSearcher.setSimilarity):
+    - "bm25" (default): BM25Similarity, parameterized k1/b;
+    - "classic": ClassicSimilarity (TF-IDF) —
+      score = sqrt(freq) * idf * byte315ToFloat(norm) with
+      idf = ln((docCount+1)/(docFreq+1)) + 1
+      (similarities/ClassicSimilarity.java:50-79,
+      TFIDFSimilarity.java:98-110 raw = tf(freq)*weight, then * norm).
+    """
+
+    def __init__(self, index_dir: str, pruning: bool = True,
+                 similarity: str = "bm25"):
+        assert similarity in ("bm25", "classic")
         self.index_dir = index_dir
         self.pruning = pruning
+        self.similarity = similarity
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             m = json.load(f)
         self.params = m["params"]
@@ -203,16 +217,52 @@ class LocalSearcher:
             self._term_cache[(f, t)] = _TermPostings(t, by_key[(f, t)])
 
     # ---------------------------------------------------------- scoring
-    def _weight_value(self, df: int) -> np.float32:
-        idf = np.float32(
+    def _idf(self, df: int) -> np.float32:
+        """Per-similarity idf: BM25Similarity.idf vs
+        ClassicSimilarity.idf (log((docCount+1)/(docFreq+1)) + 1)."""
+        if self.similarity == "classic":
+            return np.float32(
+                np.log((self.doc_count + 1) / float(df + 1)) + 1.0
+            )
+        return np.float32(
             np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
         )
+
+    def _weight_value(self, df: int) -> np.float32:
+        idf = self._idf(df)
+        if self.similarity == "classic":
+            return idf  # IDFStats.queryWeight = boost * idf
         return np.float32(idf * (self.k1 + np.float32(1.0)))
+
+    def _wv_from_idf_sum(self, idf_sum: np.float32) -> np.float32:
+        if self.similarity == "classic":
+            return idf_sum
+        return np.float32(idf_sum * (self.k1 + np.float32(1.0)))
+
+    @property
+    def _classic_norms(self) -> np.ndarray:
+        """TFIDFSimilarity NORM_TABLE: byte315ToFloat per byte."""
+        got = getattr(self, "_classic_norm_table", None)
+        if got is None:
+            from ..oracle.smallfloat import byte315_to_float
+
+            got = self._classic_norm_table = byte315_to_float(
+                np.arange(256, dtype=np.uint8)
+            )
+        return got
+
+    def _score_freqs(self, freq: np.ndarray, norms: np.ndarray,
+                     wv: np.float32) -> np.ndarray:
+        """score(doc, freq) for float32 freqs + norm bytes: the shared
+        term/phrase/span scoring kernel, per similarity."""
+        if self.similarity == "classic":
+            raw = (np.sqrt(freq, dtype=np.float32) * wv).astype(np.float32)
+            return (raw * self._classic_norms[norms]).astype(np.float32)
+        return (wv * freq / (freq + self.cache[norms])).astype(np.float32)
 
     def _score_arrays(self, tfs: np.ndarray, norms: np.ndarray,
                       wv: np.float32) -> np.ndarray:
-        freq = tfs.astype(np.float32)
-        return (wv * freq / (freq + self.cache[norms])).astype(np.float32)
+        return self._score_freqs(tfs.astype(np.float32), norms, wv)
 
     def _term_full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         # full-list scores are a pure function of the searcher's fixed
@@ -456,13 +506,9 @@ class LocalSearcher:
         # idf sum over clauses (duplicates included, like termStats[])
         idf_sum = np.float32(0.0)
         for tp in tps:
-            df = tp.n_docs
-            idf_sum = np.float32(
-                idf_sum
-                + np.float32(np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5)))
-            )
-        wv = np.float32(idf_sum * (self.k1 + np.float32(1.0)))
-        scores = (wv * freqs / (freqs + self.cache[norms0])).astype(np.float32)
+            idf_sum = np.float32(idf_sum + self._idf(tp.n_docs))
+        wv = self._wv_from_idf_sum(idf_sum)
+        scores = self._score_freqs(freqs, norms0, wv)
         return cand, scores
 
     def _eval(self, node) -> tuple[np.ndarray, np.ndarray]:
@@ -490,9 +536,15 @@ class LocalSearcher:
             return docs, np.empty(0, np.float32)
         dc_f = int(self.fstats.get(field, {}).get("doc_count", 0))
         df = tp.n_docs
+        freq = tfs.astype(np.float32)
+        if self.similarity == "classic":
+            # TFIDFSimScorer with norms == null returns raw (no norm)
+            idf = np.float32(np.log((dc_f + 1) / float(df + 1)) + 1.0)
+            return docs, (np.sqrt(freq, dtype=np.float32) * idf).astype(
+                np.float32
+            )
         idf = np.float32(np.log(1 + (dc_f - df + 0.5) / (df + 0.5)))
         wv = np.float32(idf * (self.k1 + np.float32(1.0)))
-        freq = tfs.astype(np.float32)
         return docs, (wv * freq / (freq + self.k1)).astype(np.float32)
 
     def _ts_docs(self, node) -> np.ndarray:
@@ -707,12 +759,9 @@ class LocalSearcher:
             return empty
         idf_sum = np.float32(0.0)
         for t in sorted(set(span_terms(node, scoring=True, top=True))):
-            df = self._tp(t).n_docs
-            idf_sum = np.float32(idf_sum + np.float32(
-                np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
-            ))
-        wv = np.float32(idf_sum * (self.k1 + np.float32(1.0)))
-        scores = (wv * freqs / (freqs + self.cache[normsb])).astype(np.float32)
+            idf_sum = np.float32(idf_sum + self._idf(self._tp(t).n_docs))
+        wv = self._wv_from_idf_sum(idf_sum)
+        scores = self._score_freqs(freqs, normsb, wv)
         return cand, scores
 
     def _eval_inner(self, node) -> tuple[np.ndarray, np.ndarray]:
@@ -938,12 +987,19 @@ class LocalSearcher:
 
     def _block_ubs(self, tp: "_TermPostings", wv: float) -> np.ndarray:
         """Sound per-block score upper bounds from (max_tf, min_ntab):
-        score <= wv * mt / (mt + k1*((1-b) + b*min_ntab/avgdl)).  Both
+        BM25: score <= wv * mt / (mt + k1*((1-b) + b*min_ntab/avgdl));
+        classic: score <= sqrt(mt) * wv / sqrt(min_ntab) (the classic
+        norm is byte315ToFloat(b) = 1/sqrt(BM25 table value), monotone
+        decreasing in ntab, so min_ntab gives the max norm).  Both
         stored values are avgdl/idf-independent so the bound holds under
         NRT stat drift; the 1+1e-6 guard covers float32-vs-float64
         rounding of true scores against the float64 bound."""
         mt = np.array([b["max_tf"] for b in tp.blocks], dtype=np.float64)
         mn = np.array([b["min_ntab"] for b in tp.blocks], dtype=np.float64)
+        if self.similarity == "classic":
+            with np.errstate(divide="ignore"):
+                ub = np.sqrt(mt) * wv / np.sqrt(mn)
+            return ub * (1.0 + 1e-6)
         c = float(self.k1) * (
             (1.0 - float(self.b)) + float(self.b) * mn / float(self.avgdl)
         )
@@ -1074,10 +1130,10 @@ class LocalSearcher:
         if kind == "term":
             tp = self._tp(node[1])
             df = tp.n_docs
-            idf = float(np.float32(
-                np.log(1 + (self.doc_count - df + 0.5) / (df + 0.5))
-            ))
-            out["description"] = f"weight(text:{node[1]}) [BM25Similarity]"
+            idf = float(self._idf(df))
+            sim = ("ClassicSimilarity" if self.similarity == "classic"
+                   else "BM25Similarity")
+            out["description"] = f"weight(text:{node[1]}) [{sim}]"
             detail = {"docFreq": df, "docCount": self.doc_count, "idf": idf,
                       "k1": float(self.k1), "b": float(self.b),
                       "avgdl": float(self.avgdl)}

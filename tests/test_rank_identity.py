@@ -95,6 +95,58 @@ def test_distributed_span_rank_identity(spark, index_dir, local_searcher):
     assert n_nonempty >= 6
 
 
+def test_classic_similarity_rank_identity(index_dir, oracle):
+    """ClassicSimilarity (TF-IDF) as a query-time Similarity over the
+    same index: engine scores equal an independent float32 twin built
+    straight from the oracle's postings — score = float32(sqrt(tf) *
+    idf) * byte315ToFloat(norm), idf = ln((docCount+1)/(docFreq+1))+1
+    (ClassicSimilarity.java:50-79, TFIDFSimilarity.java:98-110); boolean
+    nodes sum in double exactly like BM25."""
+    import numpy as np
+
+    from lucene_solr_spark.oracle.smallfloat import byte315_to_float
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    s = LocalSearcher(index_dir, similarity="classic")
+    s_np = LocalSearcher(index_dir, pruning=False, similarity="classic")
+    cnorm = byte315_to_float(np.arange(256, dtype=np.uint8))
+
+    def classic_term(term):
+        docs, tfs = oracle.postings.get(term, (np.empty(0, np.int64),
+                                               np.empty(0, np.int64)))
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        idf = np.float32(
+            np.log((oracle.doc_count + 1) / float(docs.size + 1)) + 1.0
+        )
+        raw = (np.sqrt(tfs.astype(np.float32), dtype=np.float32)
+               * idf).astype(np.float32)
+        return docs, (raw * cnorm[oracle.norm_bytes[docs]]).astype(
+            np.float32
+        )
+
+    def topk(docs, scores, k=10):
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+    # single terms: engine (pruned and exhaustive) == twin
+    for t in ("retry", "deploy", "cache", "pipeline"):
+        want = topk(*classic_term(t))
+        assert [(d, np.float32(x)) for d, x in s.search(t, 10)] == want, t
+        assert [(d, np.float32(x)) for d, x in s_np.search(t, 10)] == want, t
+    # boolean AND: double-sum over term twins on the intersection
+    da, sa = classic_term("retry")
+    db, sb = classic_term("deploy")
+    inter = np.intersect1d(da, db, assume_unique=True)
+    ia = np.searchsorted(da, inter)
+    ib = np.searchsorted(db, inter)
+    summed = (sa[ia].astype(np.float64) + sb[ib].astype(np.float64)).astype(
+        np.float32
+    )
+    assert [(d, np.float32(x)) for d, x in s.search("retry AND deploy", 10)
+            ] == topk(inter, summed)
+
+
 def test_various_k(local_searcher, oracle, query_set):
     node = parse_query(query_set[0][1])
     for k in (1, 3, 25, 100, 10_000):
