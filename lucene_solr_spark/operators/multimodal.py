@@ -73,20 +73,56 @@ def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.resize(base, n)
 
 
-def extract_features(assets: DataFrame,
-                     rows_per_batch: int = 256) -> DataFrame:
+def pillow_image_decoder():
+    """Real-codec seam: a Pillow-backed decoder, or None when the
+    library is absent or disabled via LSS_REAL_CODEC=0.  A deployment
+    with Pillow installed gets real JPEG decode with no code change;
+    this sandbox falls back to the deterministic stub."""
+    import os
+
+    if os.environ.get("LSS_REAL_CODEC", "auto") == "0":
+        return None
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    import io
+
+    from PIL import Image
+
+    def dec(payload: bytes, width: int, height: int) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize(
+            (int(width or 8), int(height or 8))
+        )
+        return np.asarray(img, dtype=np.float32).ravel()
+
+    return dec
+
+
+def get_image_decoder():
+    """The active decoder: Pillow when importable (and not disabled),
+    else the deterministic stub."""
+    return pillow_image_decoder() or decode_image_stub
+
+
+def extract_features(assets: DataFrame, rows_per_batch: int = 256,
+                     decoder=None) -> DataFrame:
     """(asset_id, kind, feature array<float>[FEATURE_DIM], n_bytes):
     decode + pool each asset into a fixed-dim feature vector inside an
-    Arrow-batched kernel."""
+    Arrow-batched kernel.  `decoder` overrides the codec (tests inject a
+    fake "real" decoder); by default each executor resolves
+    get_image_decoder() locally, so a cluster with Pillow on the
+    executors decodes real JPEGs."""
 
     def run(batches):
+        dec = decoder if decoder is not None else get_image_decoder()
         for pdf in batches:
             for s in range(0, len(pdf), rows_per_batch):
                 chunk = pdf.iloc[s : s + rows_per_batch]
                 feats, nb = [], []
                 for r in chunk.itertuples(index=False):
                     meta = r.meta
-                    px = decode_image_stub(
+                    px = dec(
                         bytes(r.payload),
                         (meta["width"] if meta is not None else 8) or 8,
                         (meta["height"] if meta is not None else 8) or 8,

@@ -30,6 +30,44 @@ def test_real_codec_is_stubbed():
         decode_image_stub(b"\xff\xd8fakejpegdata", 8, 8)
 
 
+def test_codec_seam_selects_stub_without_pillow(monkeypatch):
+    """In this sandbox (no Pillow) the seam resolves to the stub; with
+    LSS_REAL_CODEC=0 it resolves to the stub even if Pillow existed."""
+    from lucene_solr_spark.operators.multimodal import (
+        get_image_decoder, pillow_image_decoder,
+    )
+
+    assert pillow_image_decoder() is None  # sandbox: Pillow absent
+    assert get_image_decoder() is decode_image_stub
+    monkeypatch.setenv("LSS_REAL_CODEC", "0")
+    assert pillow_image_decoder() is None
+    assert get_image_decoder() is decode_image_stub
+
+
+def test_codec_seam_real_decoder_branch(spark):
+    """The injected-decoder branch: a fake 'real' decoder flows through
+    the same Arrow kernel, proving a Pillow deployment changes no plan
+    shape (feature dim, schema, batch handling identical)."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.multimodal import (
+        FEATURE_DIM, extract_features, make_fake_assets,
+    )
+
+    calls = []
+
+    def fake_real(payload, width, height):
+        calls.append(1)
+        return np.full(int(width) * int(height), 7.0, dtype=np.float32)
+
+    assets = make_fake_assets(spark, n=8)
+    feats = extract_features(assets, decoder=fake_real).toPandas()
+    assert len(feats) == 8
+    assert all(len(f) == FEATURE_DIM for f in feats["feature"])
+    assert all(abs(x - 7.0 / 255.0) < 1e-6
+               for f in feats["feature"] for x in f)
+
+
 def test_frame_sampling(spark):
     assets = make_fake_assets(spark, n=30)
     frames = sample_frames(assets, every=5).toPandas()
