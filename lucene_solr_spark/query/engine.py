@@ -293,6 +293,11 @@ class LocalSearcher:
         lo = np.searchsorted(candidates, fd, side="left")
         hi = np.searchsorted(candidates, ld, side="right")
         idxs = np.flatnonzero(hi > lo)
+        if idxs.size * 4 >= len(tp.blocks) * 3:
+            # nearly all blocks relevant: the cached full concatenation
+            # beats re-concatenating a per-query block subset (the
+            # membership mask below filters the extra docs anyway)
+            idxs = np.arange(len(tp.blocks))
         docs, tfs, norms = tp.decode_blocks(idxs)
         if docs.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -844,8 +849,21 @@ class LocalSearcher:
             # winner; cold term lists also keep the leapfrog, whose
             # block-range skipping avoids decoding non-candidate blocks.
             if self.max_doc + 1 <= self._DENSE_MAX_DOC:
-                tnames = [c[1] for c in children if c[0] == "term"]
+                tnames = [t for f, t in self._collect_terms(node)
+                          if f == "text"]
                 costs = [self._cost_of(c) for c in children]
+                # dense when the cheapest clause is not tiny: the
+                # leapfrog touches O(min df) postings, so a rare lead
+                # keeps it; otherwise mask-first dense evaluation costs
+                # a few contiguous full-array passes regardless of
+                # clause balance (the windowed-BooleanScorer choice)
+                if (
+                    (not tnames or not self._mostly_undecoded(tnames))
+                    and min(costs) * 16 >= self.max_doc + 1
+                ):
+                    got = self._dense_tree_eval(node)
+                    if got is not None:
+                        return got
                 if (
                     (not tnames or not self._mostly_undecoded(tnames))
                     and min(costs) * 4 >= sum(costs)
@@ -879,9 +897,7 @@ class LocalSearcher:
                 if ch[0] == "term":
                     cd, cs = self._term_lookup(ch[1], cand)
                 else:
-                    cd, cs = self._eval(ch)
-                    m = _sorted_isin(cd, cand)
-                    cd, cs = cd[m], cs[m]
+                    cd, cs = self._eval_at(ch, cand)
                 pass1[i] = (cd, cs)
                 cand = cd
             if cand.size == 0:
@@ -898,13 +914,14 @@ class LocalSearcher:
                 elif ch[0] == "term":
                     cd, cs = self._term_lookup(ch[1], cand)
                 else:
-                    cd, cs = self._eval(ch)
-                    m = _sorted_isin(cd, cand)
-                    cd, cs = cd[m], cs[m]
+                    cd, cs = self._eval_at(ch, cand)
                 idx = np.searchsorted(cand, cd)
                 total[idx] += cs.astype(np.float64)
             return cand, total.astype(np.float32)
         if kind == "or":
+            # scatter-accumulate (_sum_parts): disjunction cost scales
+            # with sum(df) — a mask-first gather would pay
+            # n_children * |union| instead, which loses for skewed ORs
             parts = [self._eval(c) for c in children]
             return self._sum_parts(parts)
         raise ValueError(kind)
@@ -914,6 +931,128 @@ class LocalSearcher:
     #: by design, so this is the normal case — beyond it the sparse
     #: sort-merge path takes over
     _DENSE_MAX_DOC = 1 << 23
+
+    #: a term's dense score table is CACHED when df * 64 >= max_doc
+    #: (sparser terms get an ephemeral table per query — a cheap
+    #: df-sized scatter — so the memory budget stays on the hot terms
+    #: where the table is actually reused)
+    _DENSE_CACHE_FRAC = 64
+
+    def _term_dense(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(mask bool[n], scores float32[n]) dense table for one term —
+        the BooleanScorer bucket table hoisted into a per-term CACHE so
+        a warm query pays zero scatter.  score != 0 exactly at postings
+        (BM25 and classic scores are strictly positive for any present
+        posting: idf > 0, freq >= 1, norm > 0 for dl >= 1), so the mask
+        is derived, not stored separately on disk."""
+        cache = getattr(self, "_dense_tables", None)
+        if cache is None:
+            cache = self._dense_tables = {}
+        got = cache.get(term)
+        if got is not None:
+            return got
+        memo = getattr(self, "_eval_memo", None)
+        key = ("dtbl", term)
+        if memo is not None and key in memo:
+            return memo[key]
+        n = self.max_doc + 1
+        docs, scores = self._term_full(term)
+        tbl = np.zeros(n, dtype=np.float32)
+        tbl[docs] = scores
+        out = (tbl != np.float32(0.0), tbl)
+        if docs.size * self._DENSE_CACHE_FRAC >= n:
+            cache[term] = out
+        elif memo is not None:
+            memo[key] = out  # ephemeral: reused within this search only
+        return out
+
+    def _dense_mask(self, node) -> np.ndarray | None:
+        """Boolean match mask of an and/or/msm_or tree of TERM leaves —
+        masks combine with full-array bool ops BEFORE any scoring, so an
+        AND prunes the scoring domain to its intersection for free.
+        None for an unsupported shape."""
+        kind = node[0]
+        memo = getattr(self, "_eval_memo", None)
+        key = ("dmask", id(node))
+        if memo is not None and key in memo:
+            return memo[key]
+        if kind == "term":
+            out = self._term_dense(node[1])[0]
+        else:
+            if kind == "msm_or":
+                children, n_min = node[2], node[1]
+            elif kind in ("and", "or"):
+                children, n_min = node[1], None
+            else:
+                return None
+            masks = []
+            for c in children:
+                m = self._dense_mask(c)
+                if m is None:
+                    return None
+                masks.append(m)
+            if kind == "msm_or":
+                cnt = masks[0].astype(np.int16)
+                for m in masks[1:]:
+                    cnt += m
+                out = cnt >= n_min
+            else:
+                out = masks[0].copy()
+                for m in masks[1:]:
+                    (out.__iand__ if kind == "and" else out.__ior__)(m)
+        if memo is not None:
+            memo[key] = out
+        return out
+
+    def _dense_scores_at(self, node, docs: np.ndarray) -> np.ndarray:
+        """float32 scores of the tree at the given docs: per-clause
+        table gathers accumulated in clause order in float64, float32
+        cast at every composite node boundary — bit-identical to the
+        sparse combiners (absent terms contribute an exact 0.0, which
+        never perturbs a float64 partial sum).  and/msm nodes zero
+        their value at docs failing their own mask (a partially-matched
+        AND contributes nothing to an enclosing OR, exactly like the
+        sparse evaluator's candidate filtering)."""
+        kind = node[0]
+        if kind == "term":
+            return self._term_dense(node[1])[1][docs]
+        children = node[2] if kind == "msm_or" else node[1]
+        acc = np.zeros(docs.size, dtype=np.float64)
+        for c in children:
+            acc += self._dense_scores_at(c, docs)
+        out = acc.astype(np.float32)
+        if kind in ("and", "msm_or"):
+            out *= self._dense_mask(node)[docs]
+        return out
+
+    def _eval_at(self, node, cand: np.ndarray):
+        """(docs, scores) of `node` restricted to the sorted candidate
+        set — dense-table gather when the node supports it (O(|cand|)
+        per clause instead of a full disjunction scatter), else full
+        evaluation + filter.  Used for composite clauses inside the
+        AND leapfrog, where `cand` is already small."""
+        if self.max_doc + 1 <= self._DENSE_MAX_DOC:
+            m = self._dense_mask(node)
+            if m is not None:
+                cd = cand[m[cand]]
+                return cd, self._dense_scores_at(node, cd)
+        cd, cs = self._eval(node)
+        m = _sorted_isin(cd, cand)
+        return cd[m], cs[m]
+
+    def _dense_tree_eval(self, node):
+        """(docs, scores) via mask-first dense evaluation: masks combine
+        before any scoring, so scores are gathered only at matching
+        docs.  Returns None for unsupported shapes."""
+        if self.max_doc + 1 > self._DENSE_MAX_DOC:
+            return None
+        mask = self._dense_mask(node)
+        if mask is None:
+            return None
+        docs = np.flatnonzero(mask)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        return docs, self._dense_scores_at(node, docs)
 
     def _sum_parts(self, parts, min_match: int | None = None
                    ) -> tuple[np.ndarray, np.ndarray]:
@@ -978,6 +1117,49 @@ class LocalSearcher:
             keep = cnts >= min_match
             return docs[keep], total[keep].astype(np.float32)
         return docs, total.astype(np.float32)
+
+    #: size of the cached per-term top-candidate pool
+    _TOPCAND_M = 2048
+
+    def _term_topcand(self, term: str):
+        """(docs, scores, thr): the term's global top-M postings by
+        score plus thr = the best score OUTSIDE the pool.  A warm
+        single-term top-k is answered from the pool alone whenever >= k
+        pool entries score STRICTLY above thr after delete/cursor
+        masking — every excluded posting scores <= thr, strictly below
+        the selected k, so the page is exact including docID
+        tie-breaks."""
+        cache = getattr(self, "_topcand_cache", None)
+        if cache is None:
+            cache = self._topcand_cache = {}
+        got = cache.get(term)
+        if got is not None:
+            return got
+        docs, scores = self._term_full(term)
+        m = self._TOPCAND_M
+        if docs.size <= m:
+            out = (docs, scores, -np.inf)
+        else:
+            part = np.argpartition(scores, docs.size - m)
+            keep = np.sort(part[docs.size - m:])
+            thr = float(scores[part[: docs.size - m]].max())
+            out = (docs[keep], scores[keep], thr)
+        cache[term] = out
+        return out
+
+    def _search_term_topcand(self, term: str, k: int, after=None):
+        """Warm single-term top-k from the cached candidate pool, or
+        None when the pool can't prove exactness for this page."""
+        cd, cs, thr = self._term_topcand(term)
+        keep = np.ones(cd.size, dtype=bool)
+        if self._deleted.size:
+            keep &= ~_sorted_isin(cd, self._deleted)
+        if after is not None:
+            keep &= _cursor_mask(cd, cs, after)
+        strong = keep & (cs > np.float32(thr))
+        if np.count_nonzero(strong) < k:
+            return None
+        return _topk_hits(cd[strong], cs[strong], k)
 
     # -------------------------------------------- pruned top-level OR
     def _mostly_undecoded(self, terms: list[str]) -> bool:
@@ -1233,6 +1415,10 @@ class LocalSearcher:
                     pruned_terms, k, after=after
                 )
         else:
+            if node[0] == "term" and k is not None:
+                hits = self._search_term_topcand(node[1], k, after=after)
+                if hits is not None:
+                    return hits
             docs, scores = self._eval(node)
         return _topk_hits(docs, scores, k, after=after,
                           deleted=self._deleted)
