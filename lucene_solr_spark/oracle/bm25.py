@@ -400,6 +400,17 @@ class LuceneOracle:
         if kind in MULTI_TERM_KINDS:
             terms = expand(node, sorted(self.postings))
             return ("const_or", terms) if terms else ("matchnone",)
+        if kind == "span_multi":
+            # SpanMultiTermQueryWrapper -> SpanOr of expanded terms
+            return ("sor", sorted(expand(node[1], sorted(self.postings))))
+        if kind == "span_near":
+            return ("span_near", [self.rewrite(c) for c in node[1]],
+                    node[2], node[3])
+        if kind in ("span_first", "span_range"):
+            return (kind, self.rewrite(node[1])) + tuple(node[2:])
+        if kind in ("span_not", "span_containing", "span_within"):
+            return (kind, self.rewrite(node[1]),
+                    self.rewrite(node[2])) + tuple(node[3:])
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":

@@ -829,6 +829,21 @@ class DistributedSearcher:
                 .collect()
             ]
             return _capped(terms)
+        if kind == "span_multi":
+            # SpanMultiTermQueryWrapper -> SpanOr of the expanded terms
+            # (SpanRewriteMethod); reuse the DataFrame-native expansion
+            inner = self.rewrite(node[1])
+            if inner[0] == "matchnone":
+                return ("sor", [])
+            return ("sor", list(inner[1]))
+        if kind == "span_near":
+            return ("span_near", [self.rewrite(c) for c in node[1]],
+                    node[2], node[3])
+        if kind in ("span_first", "span_range"):
+            return (kind, self.rewrite(node[1])) + tuple(node[2:])
+        if kind in ("span_not", "span_containing", "span_within"):
+            return (kind, self.rewrite(node[1]),
+                    self.rewrite(node[2])) + tuple(node[3:])
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":

@@ -336,6 +336,23 @@ class LocalSearcher:
             if not terms:
                 return ("matchnone",)
             return ("const_or", terms)
+        if kind == "span_multi":
+            # SpanMultiTermQueryWrapper: expand the wrapped multi-term
+            # query against the dictionary into a SpanOr of term spans
+            # (spans/SpanMultiTermQueryWrapper.java SpanRewriteMethod);
+            # an empty expansion is a SpanOr of nothing (matches no doc)
+            terms = expand_from_dataset(
+                node[1], self._terms_dataset(), field="text"
+            )
+            return ("sor", sorted(terms))
+        if kind == "span_near":
+            return ("span_near", [self.rewrite(c) for c in node[1]],
+                    node[2], node[3])
+        if kind in ("span_first", "span_range"):
+            return (kind, self.rewrite(node[1])) + tuple(node[2:])
+        if kind in ("span_not", "span_containing", "span_within"):
+            return (kind, self.rewrite(node[1]),
+                    self.rewrite(node[2])) + tuple(node[3:])
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":
@@ -1161,6 +1178,96 @@ class LocalSearcher:
             return None
         return _topk_hits(cd[strong], cs[strong], k)
 
+    def _term_scoredesc(self, term: str):
+        """(docs, scores) of one term ordered by score DESCENDING —
+        cached; the access lists of the threshold-algorithm OR."""
+        cache = getattr(self, "_scoredesc_cache", None)
+        if cache is None:
+            cache = self._scoredesc_cache = {}
+        got = cache.get(term)
+        if got is None:
+            docs, scores = self._term_full(term)
+            order = np.argsort(-scores, kind="stable")
+            got = cache[term] = (docs[order], scores[order])
+        return got
+
+    def _search_tree_ta(self, node, k: int, after=None):
+        """Exact top-k of an and/or/msm tree via the threshold algorithm
+        over per-leaf score-descending lists (the WAND /
+        TopScoreDocCollector early-termination role for WARM lists):
+        consume the leaf lists in batches, evaluate every newly seen doc
+        exactly (dense mask + clause-order gathered sums), and stop once
+        the k-th collected score strictly beats the sum of the lists'
+        next-unseen scores (+1e-6 float guard, as in _block_ubs).  The
+        bound is sound for any tree of non-negative contributions: an
+        unseen doc's score is at most the sum of its per-leaf scores,
+        each bounded by that leaf's cursor entry.  Returns None when the
+        bound cannot prove exactness by half a full pass (the dense /
+        scatter paths take over)."""
+        n = self.max_doc + 1
+        if n > self._DENSE_MAX_DOC:
+            return None
+        terms = sorted({t for f, t in self._collect_terms(node)
+                        if f == "text"})
+        if not terms or self._mostly_undecoded(terms):
+            return None  # cold lists: the block-pruning paths decode less
+        mask = self._dense_mask(node)
+        if mask is None:
+            return None
+        lists = [self._term_scoredesc(t) for t in terms]
+        seen = np.zeros(n, dtype=bool)
+        cursors = [0] * len(terms)
+        kept_d: list[np.ndarray] = []
+        kept_s: list[np.ndarray] = []
+        n_kept = 0
+        theta = -np.inf
+        batch = 1024
+        total_len = sum(ld.size for ld, _ in lists)
+        consumed = 0
+        while True:
+            ub = sum(
+                float(ls[c]) for (_, ls), c in zip(lists, cursors)
+                if c < ls.size
+            ) * (1.0 + 1e-6)
+            done = all(c >= ls.size for (_, ls), c in zip(lists, cursors))
+            if done or (n_kept >= k and theta > ub):
+                break
+            if consumed * 2 >= total_len:
+                return None  # no early proof by half-way
+            fresh = []
+            for i, (ld, ls) in enumerate(lists):
+                c = cursors[i]
+                if c >= ld.size:
+                    continue
+                take = ld[c : c + batch]
+                cursors[i] = c + take.size
+                consumed += take.size
+                nw = take[~seen[take]]
+                seen[nw] = True
+                fresh.append(nw)
+            if not fresh:
+                continue
+            cand = np.concatenate(fresh)
+            cand = cand[mask[cand]]  # tree match check before scoring
+            if cand.size:
+                cand = np.sort(cand)
+                cs = self._dense_scores_at(node, cand)
+                keep = np.ones(cand.size, dtype=bool)
+                if self._deleted.size:
+                    keep &= ~_sorted_isin(cand, self._deleted)
+                if after is not None:
+                    keep &= _cursor_mask(cand, cs, after)
+                kept_d.append(cand[keep])
+                kept_s.append(cs[keep])
+                n_kept += int(keep.sum())
+            if n_kept >= k:
+                theta = _kth_best(np.concatenate(kept_s), k)
+        if not kept_d:
+            return []
+        docs = np.concatenate(kept_d)
+        scores = np.concatenate(kept_s)
+        return _topk_hits(docs, scores, k)
+
     # -------------------------------------------- pruned top-level OR
     def _mostly_undecoded(self, terms: list[str]) -> bool:
         total = sum(len(self._tp(t).blocks) for t in terms)
@@ -1417,6 +1524,12 @@ class LocalSearcher:
         else:
             if node[0] == "term" and k is not None:
                 hits = self._search_term_topcand(node[1], k, after=after)
+                if hits is not None:
+                    return hits
+            if node[0] in ("and", "or", "msm_or") and k is not None:
+                # warm boolean tree: threshold-algorithm early
+                # termination over cached score-descending leaf lists
+                hits = self._search_tree_ta(node, k, after=after)
                 if hits is not None:
                     return hits
             docs, scores = self._eval(node)

@@ -484,6 +484,13 @@ def test_span_near_rank_identity(searcher, oracle):
          ("sterm", "cache")),
         ("span_range", ("sterm", "retry"), 2, 9),
         ("span_range", near_rd, 1, 12),
+        # SpanMultiTermQueryWrapper: multi-term expansion inside a span
+        # tree rewrites to SpanOr (SpanRewriteMethod)
+        ("span_near", [("span_multi", ("prefix", "re")),
+                       ("sterm", "deploy")], 3, True),
+        ("span_near", [("span_multi", ("wildcard", "c?che")),
+                       ("sterm", "miss")], 5, False),
+        ("span_first", ("span_multi", ("prefix", "dep")), 6),
     ]
     n_nonempty = 0
     for node in nodes:
