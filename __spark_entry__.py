@@ -651,6 +651,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _tbl(spark, sf, "documents")
         return simhash(d, nbits=16)
 
+    def dedup_embedding_cosine(spark, sf):
+        # embedding-cosine near-dup pairs: LSH-bucketed candidates
+        # (never all-pairs), exact cosine verify, rounded-threshold
+        # filter so the SQL twin agrees at the boundary
+        from lucene_solr_spark.operators.ann import cosine_near_dup_pairs
+
+        e = _tbl(spark, sf, "embeddings")
+        return cosine_near_dup_pairs(e, threshold=0.35)
+
     def text_langid(spark, sf):
         return langid(_tbl(spark, sf, "documents"))
 
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "text_langid": text_langid,
         "text_quality_score": text_quality_score,
         "text_fingerprint": text_fingerprint,
@@ -898,6 +908,40 @@ sc AS (
 SELECT vec_id, ROUND(raw, 4) AS cosine FROM sc
 WHERE bucket = (SELECT bucket FROM bk WHERE vec_id = 0)
 ORDER BY raw DESC, vec_id LIMIT 10
+"""
+
+
+def _embedding_near_dup_sql(threshold: float) -> str:
+    from lucene_solr_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(64, 4, seed=7)
+
+    def dot(vec_expr: str, p) -> str:
+        return " + ".join(
+            f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * ({float(p[i])!r})"
+            for i in range(64)
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH bk AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(
+           list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                    v -> CAST(v[1] AS DOUBLE) * CAST(v[2] AS DOUBLE)))
+           / (x.nrm * y.nrm), 4) AS cosine
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a, b, cosine FROM pairs WHERE cosine >= {threshold}
 """
 
 
@@ -1282,6 +1326,7 @@ JOIN sz za ON za.doc_id = i.a
 JOIN sz zb ON zb.doc_id = i.b
 """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_embedding_cosine": _embedding_near_dup_sql(0.35),
         "text_langid": f"""
 WITH f AS (SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents)
 SELECT doc_id,

@@ -256,3 +256,44 @@ def lsh_ann_topk(vectors: DataFrame, query: list[float], nbits: int = 4,
         .limit(k)
         .select(key_col, "cosine")
     )
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float,
+                          nbits: int = 4, seed: int = 7, dim: int = 64,
+                          vec_col: str = "embedding",
+                          key_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs come only from within a hyperplane-LSH bucket (the banding
+    trick applied to dense vectors — at 100 TB the self-join is
+    per-bucket, never all-pairs), then exact JVM-side cosine verifies
+    each candidate.  Returns (a, b, cosine) with a < b and
+    round(cosine, 4) >= threshold (the rounded value is the filter key
+    so an ANSI-SQL twin agrees at the boundary)."""
+    planes = hyperplanes(dim, nbits, seed)
+    bk = vectors.select(
+        F.col(key_col), F.col(vec_col),
+        lsh_bucket_expr(planes, vec_col).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = bk.select(
+        F.col("bucket"), F.col(key_col).alias("a"),
+        F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+    )
+    b = bk.select(
+        F.col("bucket"), F.col(key_col).alias("b"),
+        F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(dot / (F.col("na") * F.col("nb")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
