@@ -469,6 +469,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = ("reqfilter", near, ("fterm", "role", "user"))
         return _engine64(spark, sf).matching_docs_df(node)
 
+    def spellcheck_suggest(spark, sf):
+        # DirectSpellChecker suggestions: dictionary scan with pushed
+        # length-window + levenshtein prefilter, exact OSA verify,
+        # (score desc, docFreq desc, term asc) ranking
+        from lucene_solr_spark.query.spell import suggest_df
+
+        idx = _ensure_index(spark, sf)
+        return suggest_df(spark, idx, "qury", k=5)
+
     def phrase_sloppy_repeats(spark, sf):
         # repeated-term sloppy phrase (the hasRpts path,
         # SloppyPhraseScorer.java:147-256): membership is SQL-checkable
@@ -757,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": bm25_msm,
         "phrase_sloppy": phrase_sloppy,
         "phrase_sloppy_repeats": phrase_sloppy_repeats,
+        "spellcheck_suggest": spellcheck_suggest,
         "span_near_membership": span_near_membership,
         "span_within_membership": span_within_membership,
         "span_field_filter": span_field_filter,
@@ -1062,6 +1072,20 @@ WITH {_TOK_CTE}
 SELECT doc_id, ({nb_case})::INT AS norm_byte FROM dls
 """,
         "bm25_term_hi": _bm25_term_sql("batch"),
+        "spellcheck_suggest": f"""
+WITH {_TOK_CTE}
+SELECT term,
+       1.0 - damerau_levenshtein('qury', term) * 1.0
+             / LEAST(len('qury'), len(term)) AS score,
+       doc_freq
+FROM ts
+WHERE term <> 'qury'
+  AND abs(len(term) - len('qury')) <= 2
+  AND damerau_levenshtein('qury', term) <= 2
+  AND 1.0 - damerau_levenshtein('qury', term) * 1.0
+      / LEAST(len('qury'), len(term)) >= 0.5
+ORDER BY score DESC, doc_freq DESC, term ASC LIMIT 5
+""",
         "tfidf_term_topk": f"""
 WITH {_TOK_CTE}
 SELECT doc_id, ROUND(score, 4) AS score FROM (

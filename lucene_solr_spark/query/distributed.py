@@ -483,10 +483,12 @@ class DistributedSearcher:
 
     def _span_cand_df(self, clause, pos_df: DataFrame) -> DataFrame:
         """DF(doc_id) of docs that can match a span clause — the
-        two-phase doc-level approximation built from the shared position
-        scan: term -> its posting docs, or -> union, near -> conjunction
-        (inner join), containing/within -> ConjunctionSpans(big, little),
-        first/range/not -> the match/include side."""
+        two-phase doc-level approximation: term -> its posting docs,
+        or -> union, near -> conjunction (left_semi join),
+        containing/within -> ConjunctionSpans(big, little),
+        first/range/not -> the match/include side.  `pos_df` is the
+        positions-FREE doc decode (candidates never pay position
+        decoding; only the final per-doc aggregation does)."""
         kind = clause[0]
         if kind == "sterm":
             return pos_df.filter(F.col("term") == clause[1]).select("doc_id")
@@ -525,7 +527,7 @@ class DistributedSearcher:
         clause_idx[0] += 1
         all_terms = sorted(set(span_terms(node)))
         pos_df = self._phrase_positions_df(all_terms)
-        cand = self._span_cand_df(node, pos_df)
+        cand = self._span_cand_df(node, self._decoded_tf_df(all_terms))
         agg = (
             pos_df.join(cand, "doc_id", "left_semi")
             .groupBy("doc_id")

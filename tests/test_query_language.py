@@ -327,6 +327,28 @@ def test_span_near_javadoc_trace():
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
+def test_spellcheck_suggest(index_dir):
+    """DirectSpellChecker semantics: OSA distance, score =
+    1 - dist/min(len), accuracy cutoff, (score desc, docFreq desc,
+    term asc) order (LuceneLevenshteinDistance.java:70,
+    SuggestWordScoreComparator.java)."""
+    from lucene_solr_spark.query.spell import _rank, suggest_local
+
+    got = suggest_local(index_dir, "retri", k=5)
+    assert got and got[0][0] == "retry"
+    for t, score, df in got:
+        assert 0.5 <= score <= 1.0 and df > 0 and t != "retri"
+    # ranking comparator on a synthetic candidate set
+    ranked = _rank(
+        [("retry", 50), ("rery", 10), ("retr", 99), ("retri", 7)],
+        "retri", 5, 2, 0.0,
+    )
+    # query term excluded; score desc (1-1/5=0.8 > 1-1/4=0.75 > 0.5)
+    assert [t for t, _, _ in ranked] == ["retry", "retr", "rery"]
+    sc = {t: s for t, s, _ in ranked}
+    assert sc["retry"] == 1.0 - 1 / 5 and sc["retr"] == 1.0 - 1 / 4
+
+
 def test_sloppy_repeats_traces():
     """hasRpts path (SloppyPhraseScorer.java:147-256): hand-traced docs
     — repeat groups stagger to distinct occurrences at init, collisions
