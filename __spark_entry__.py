@@ -469,6 +469,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = ("reqfilter", near, ("fterm", "role", "user"))
         return _engine64(spark, sf).matching_docs_df(node)
 
+    def mlt_topk(spark, sf):
+        # MoreLikeThis: interesting-term selection (tf>=2, df>=5,
+        # classic idf, top 25) from doc 7's text, then the standard
+        # boolean OR plan with the source excluded
+        from lucene_solr_spark.query.mlt import more_like_this_df
+
+        text = (
+            _tbl(spark, sf, "documents")
+            .filter(F.col("doc_id") == 7).collect()[0]["text"]
+        )
+        return more_like_this_df(
+            _engine64(spark, sf), text, exclude_doc=7, k=10
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
     def spellcheck_suggest(spark, sf):
         # DirectSpellChecker suggestions: dictionary scan with pushed
         # length-window + levenshtein prefilter, exact OSA verify,
@@ -767,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy": phrase_sloppy,
         "phrase_sloppy_repeats": phrase_sloppy_repeats,
         "spellcheck_suggest": spellcheck_suggest,
+        "mlt_topk": mlt_topk,
         "span_near_membership": span_near_membership,
         "span_within_membership": span_within_membership,
         "span_field_filter": span_field_filter,
@@ -1072,6 +1087,24 @@ WITH {_TOK_CTE}
 SELECT doc_id, ({nb_case})::INT AS norm_byte FROM dls
 """,
         "bm25_term_hi": _bm25_term_sql("batch"),
+        "mlt_topk": f"""
+WITH {_TOK_CTE},
+src AS (SELECT term, tf FROM tf WHERE doc_id = 7),
+sel AS (
+  SELECT s.term
+  FROM src s JOIN ts USING (term), fs
+  WHERE s.tf >= 2 AND ts.doc_freq >= 5
+  ORDER BY s.tf * (ln((fs.doc_count + 1.0) / (ts.doc_freq + 1.0)) + 1.0)
+           DESC, s.term
+  LIMIT 25
+)
+SELECT doc_id, ROUND(raw, 4) AS score FROM (
+  SELECT tf.doc_id, SUM({_BM25_SQL_SCORE}) AS raw
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> 7
+  GROUP BY tf.doc_id
+) ORDER BY raw DESC, doc_id LIMIT 10
+""",
         "spellcheck_suggest": f"""
 WITH {_TOK_CTE}
 SELECT term,

@@ -327,6 +327,41 @@ def test_span_near_javadoc_trace():
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
+def test_more_like_this(index_dir, corpus_pdf):
+    """MoreLikeThis term selection (tf>=minTermFreq, df>=minDocFreq,
+    classic idf tf*[ln((N+1)/(df+1))+1], top maxQueryTerms) and the
+    resulting similar-docs query through the serving path, source doc
+    excluded (MoreLikeThis.java defaults)."""
+    from lucene_solr_spark.query.engine import LocalSearcher
+    from lucene_solr_spark.query.mlt import (
+        interesting_terms, more_like_this_local,
+    )
+
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(
+        drop=True
+    )
+    text = pdf["text"].iloc[3]
+    s = LocalSearcher(index_dir)
+    hits = more_like_this_local(s, text, exclude_doc=3, k=10,
+                                min_term_freq=1, min_doc_freq=2)
+    assert hits and all(d != 3 for d, _ in hits)
+    # selection math on a controlled corpus
+    got = interesting_terms(
+        "retry retry deploy deploy deploy cache",
+        {"retry": 10, "deploy": 50, "cache": 100}, 100,
+        min_term_freq=2, min_doc_freq=5, max_query_terms=1,
+    )
+    import math
+
+    # deploy: 3 * (ln(101/51)+1) ~ 5.05 > retry: 2 * (ln(101/11)+1) ~ 6.4
+    want = {
+        "retry": 2 * (math.log(101 / 11) + 1),
+        "deploy": 3 * (math.log(101 / 51) + 1),
+    }
+    best = max(want, key=lambda t: want[t])
+    assert got == [(best, want[best])]
+
+
 def test_spellcheck_suggest(index_dir):
     """DirectSpellChecker semantics: OSA distance, score =
     1 - dist/min(len), accuracy cutoff, (score desc, docFreq desc,
