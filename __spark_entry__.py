@@ -469,6 +469,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = ("reqfilter", near, ("fterm", "role", "user"))
         return _engine64(spark, sf).matching_docs_df(node)
 
+    def highlight_term(spark, sf):
+        # position-based highlighting: every doc matching 'dup' with
+        # the first-match token window (wrap off so the snippet is a
+        # pure token-slice, exactly SQL-reconstructible; wrapped
+        # passages + multi-passage + phrase/span highlighting are
+        # locked by pytest)
+        import pandas as pd
+
+        from lucene_solr_spark.query.highlight import doc_highlights
+
+        m = _engine64(spark, sf).matching_docs_df("dup")
+        docs = _tbl(spark, sf, "documents").join(F.broadcast(m), "doc_id")
+
+        def run(batches):
+            for pdf in batches:
+                snips = [
+                    doc_highlights(t, ("term", "dup"), window=3,
+                                   max_passages=1, wrap=False)[0]
+                    for t in pdf["text"]
+                ]
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "snippet": snips}
+                )
+
+        return docs.mapInPandas(run, "doc_id long, snippet string")
+
     def mlt_topk(spark, sf):
         # MoreLikeThis: interesting-term selection (tf>=2, df>=5,
         # classic idf, top 25) from doc 7's text, then the standard
@@ -782,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy_repeats": phrase_sloppy_repeats,
         "spellcheck_suggest": spellcheck_suggest,
         "mlt_topk": mlt_topk,
+        "highlight_term": highlight_term,
         "span_near_membership": span_near_membership,
         "span_within_membership": span_within_membership,
         "span_field_filter": span_field_filter,
@@ -1087,6 +1114,16 @@ WITH {_TOK_CTE}
 SELECT doc_id, ({nb_case})::INT AS norm_byte FROM dls
 """,
         "bm25_term_hi": _bm25_term_sql("batch"),
+        "highlight_term": f"""
+WITH {_PTOK_CTE},
+m AS (SELECT doc_id, MIN(pos) AS p FROM ptok WHERE t = 'dup'
+      GROUP BY doc_id)
+SELECT m.doc_id,
+       array_to_string(
+         list_slice(sp.sp, GREATEST(1, p - 2),
+                    LEAST(len(sp.sp), p + 4)), ' ') AS snippet
+FROM m JOIN sp USING (doc_id)
+""",
         "mlt_topk": f"""
 WITH {_TOK_CTE},
 src AS (SELECT term, tf FROM tf WHERE doc_id = 7),

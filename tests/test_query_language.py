@@ -327,6 +327,60 @@ def test_span_near_javadoc_trace():
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
+def test_highlighter():
+    """Position-based highlighting: token windows around match spans,
+    matched tokens wrapped; phrase/span matches highlight the whole
+    span; boolean trees fall back to per-term highlights (the
+    UnifiedHighlighter term-extraction discipline)."""
+    from lucene_solr_spark.query.highlight import doc_highlights
+
+    text = "the quick brown fox jumps over the lazy dog fox trot"
+    assert doc_highlights(text, ("term", "fox")) == [
+        "the quick brown <b>fox</b> jumps over the",
+        "the lazy dog <b>fox</b> trot",
+    ]
+    assert doc_highlights(text, ("term", "fox"), max_passages=1,
+                          wrap=False) == [
+        "the quick brown fox jumps over the"
+    ]
+    # phrase: both tokens wrapped, window around the whole span
+    assert doc_highlights(text, ("phrase", [("quick", 0), ("brown", 1)])
+                          ) == ["the <b>quick</b> <b>brown</b> fox jumps over"]
+    # phrase across a stopword hole ("over the lazy": the analyzer
+    # keeps the gap, the highlight covers the raw tokens in between)
+    got = doc_highlights(text, ("phrase", [("jumps", 0), ("lazy", 3)]))
+    assert got and "<b>jumps</b>" in got[0] and "<b>lazy</b>" in got[0]
+    # span query highlight
+    near = ("span_near", [("sterm", "fox"), ("sterm", "trot")], 2, True)
+    assert doc_highlights(text, near) == [
+        "the lazy dog <b>fox</b> <b>trot</b>"
+    ]
+    # boolean fallback: each matching term highlighted separately
+    got = doc_highlights(text, ("and", [("term", "quick"),
+                                        ("term", "dog")]))
+    assert len(got) == 2 and "<b>quick</b>" in got[0] and "<b>dog</b>" in got[1]
+    # no match
+    assert doc_highlights(text, ("term", "zebra")) == []
+
+
+def test_highlight_topk_distributed(spark, index_dir):
+    """highlight_topk_df: top-k + stored-fields fetch + executor-side
+    snippet kernel — snippets contain the wrapped query term and rank
+    order matches the engine."""
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.highlight import highlight_topk_df
+    from lucene_solr_spark.sources import gen_transcripts_df
+
+    ds = DistributedSearcher(spark, index_dir)
+    tr = gen_transcripts_df(spark, n_convs=40, seed=42)
+    rows = highlight_topk_df(ds, tr, "retry", k=5).collect()
+    assert rows
+    for r in rows:
+        assert "<b>retry</b>" in r["snippet"]
+    want = [d for d, _ in ds.search("retry", 5)]
+    assert sorted(r["doc_id"] for r in rows) == sorted(want)
+
+
 def test_more_like_this(index_dir, corpus_pdf):
     """MoreLikeThis term selection (tf>=minTermFreq, df>=minDocFreq,
     classic idf tf*[ln((N+1)/(df+1))+1], top maxQueryTerms) and the
