@@ -469,6 +469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = ("reqfilter", near, ("fterm", "role", "user"))
         return _engine64(spark, sf).matching_docs_df(node)
 
+    def surround_membership(spark, sf):
+        # surround query language -> distributed span plan:
+        # `table 4w (hash OR scan)` == SpanNear([table, SpanOr(hash,
+        # scan)], slop=3, ordered); membership is SQL-checkable via the
+        # minimal-stretch argument (first union position >= pa+1)
+        from lucene_solr_spark.query.surround import parse_surround
+
+        node = parse_surround("table 4w (hash OR scan)")
+        return _engine64(spark, sf).matching_docs_df(node)
+
     def highlight_term(spark, sf):
         # position-based highlighting: every doc matching 'dup' with
         # the first-match token window (wrap off so the snippet is a
@@ -809,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck_suggest": spellcheck_suggest,
         "mlt_topk": mlt_topk,
         "highlight_term": highlight_term,
+        "surround_membership": surround_membership,
         "span_near_membership": span_near_membership,
         "span_within_membership": span_within_membership,
         "span_field_filter": span_field_filter,
@@ -1114,6 +1125,14 @@ WITH {_TOK_CTE}
 SELECT doc_id, ({nb_case})::INT AS norm_byte FROM dls
 """,
         "bm25_term_hi": _bm25_term_sql("batch"),
+        "surround_membership": f"""
+WITH {_PTOK_CTE}
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM ptok WHERE t = 'table') a
+JOIN (SELECT doc_id, pos FROM ptok WHERE t IN ('hash', 'scan')) b
+  USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+""",
         "highlight_term": f"""
 WITH {_PTOK_CTE},
 m AS (SELECT doc_id, MIN(pos) AS p FROM ptok WHERE t = 'dup'

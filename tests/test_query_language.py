@@ -327,6 +327,47 @@ def test_span_near_javadoc_trace():
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
+def test_surround_parser(searcher):
+    """Surround query language: distance ops map to
+    SpanNear(slop=n-1), truncation to SpanMultiTermQueryWrapper,
+    boolean ops to the boolean tree (surround QueryParser.jj,
+    DistanceQuery.java)."""
+    from lucene_solr_spark.query.surround import parse_surround
+
+    assert parse_surround("a 3w b") == (
+        "span_near", [("sterm", "a"), ("sterm", "b")], 2, True
+    )
+    assert parse_surround("2N(x, y)") == (
+        "span_near", [("sterm", "x"), ("sterm", "y")], 1, False
+    )
+    assert parse_surround("re* w deploy") == (
+        "span_near",
+        [("span_multi", ("prefix", "re")), ("sterm", "deploy")], 0, True,
+    )
+    with pytest.raises(QueryParseError):
+        parse_surround("(a AND b) 2w c")  # distance subquery not allowed
+    # end-to-end: surround == hand-built span tree through the engine
+    pairs = [
+        ("retry 4w deploy",
+         ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3,
+          True)),
+        ("(retry OR cache) 3w deploy",
+         ("span_near", [("sor", ["retry", "cache"]),
+                        ("sterm", "deploy")], 2, True)),
+        ("retry AND (cache 6n miss)",
+         ("and", [("term", "retry"),
+                  ("span_near", [("sterm", "cache"), ("sterm", "miss")],
+                   5, False)])),
+    ]
+    n_nonempty = 0
+    for text, tree in pairs:
+        a = searcher.search(parse_surround(text), 10)
+        b = searcher.search(tree, 10)
+        n_nonempty += bool(b)
+        assert a == b, text
+    assert n_nonempty >= 2
+
+
 def test_highlighter():
     """Position-based highlighting: token windows around match spans,
     matched tokens wrapped; phrase/span matches highlight the whole
