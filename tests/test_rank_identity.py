@@ -81,6 +81,9 @@ def test_distributed_span_rank_identity(spark, index_dir, local_searcher):
         ("span_not", near_rd, ("sterm", "pipeline"), 1, 2),
         ("span_near", [near_rd, ("sterm", "pipeline")], 5, True),
         ("span_containing", near_rd, ("sterm", "retry")),
+        # SpanMultiTermQueryWrapper through the distributed rewrite
+        ("span_near", [("span_multi", ("prefix", "re")),
+                       ("sterm", "deploy")], 3, True),
         ("span_within",
          ("span_near", [("sterm", "cache"), ("sterm", "miss")], 8, False),
          ("sterm", "cache")),
@@ -93,6 +96,28 @@ def test_distributed_span_rank_identity(spark, index_dir, local_searcher):
         n_nonempty += bool(want)
         _assert_identical(f"dist-span:{node[0]}", got, want)
     assert n_nonempty >= 6
+
+
+def test_classic_similarity_distributed_matches_local(spark, index_dir):
+    """ClassicSimilarity float32 serving mode: DistributedSearcher ==
+    LocalSearcher across term/boolean/phrase/span shapes."""
+    import numpy as np
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    ls = LocalSearcher(index_dir, similarity="classic")
+    ds = DistributedSearcher(spark, index_dir, similarity="classic")
+    near = ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3,
+            True)
+    n_nonempty = 0
+    for q in ["retry", "retry AND deploy", "retry OR cache",
+              '"retry deploy"~2', near]:
+        a = [(d, np.float32(s)) for d, s in ls.search(q, 10)]
+        b = [(d, np.float32(s)) for d, s in ds.search(q, 10)]
+        n_nonempty += bool(a)
+        assert a == b, q
+    assert n_nonempty >= 3
 
 
 def test_classic_similarity_rank_identity(index_dir, oracle):
