@@ -1207,13 +1207,18 @@ class LocalSearcher:
         n = self.max_doc + 1
         if n > self._DENSE_MAX_DOC:
             return None
-        terms = sorted({t for f, t in self._collect_terms(node)
-                        if f == "text"})
+        leaf_terms = [t for f, t in self._collect_terms(node)
+                      if f == "text"]
+        terms = sorted(set(leaf_terms))
         if not terms or self._mostly_undecoded(terms):
             return None  # cold lists: the block-pruning paths decode less
         mask = self._dense_mask(node)
         if mask is None:
             return None
+        # a term appearing in several leaves contributes once per leaf
+        # to a doc's score, so the unseen-doc bound must weight each
+        # list's cursor by that multiplicity
+        mult = [leaf_terms.count(t) for t in terms]
         lists = [self._term_scoredesc(t) for t in terms]
         seen = np.zeros(n, dtype=bool)
         cursors = [0] * len(terms)
@@ -1226,7 +1231,8 @@ class LocalSearcher:
         consumed = 0
         while True:
             ub = sum(
-                float(ls[c]) for (_, ls), c in zip(lists, cursors)
+                m * float(ls[c])
+                for (_, ls), c, m in zip(lists, cursors, mult)
                 if c < ls.size
             ) * (1.0 + 1e-6)
             done = all(c >= ls.size for (_, ls), c in zip(lists, cursors))

@@ -327,6 +327,22 @@ def test_span_near_javadoc_trace():
     assert doc_spans(("span_not", near, ("sterm", "t3"), 0, 2), pof) is None
 
 
+def test_duplicate_clause_topk(searcher, oracle):
+    """Duplicate term clauses (x OR x, x AND x AND y) double-count in
+    scores; the warm TA early-stop bound must weight cursors by leaf
+    multiplicity or it would terminate too early."""
+    for q in ["busu0 OR busu0", "busu0 AND busu0 AND ralove",
+              "(ralove busu0 ralove)@2"]:
+        node = parse_query(q)
+        # warm the caches first so the TA path engages on the repeat
+        searcher.search(node, 10)
+        got = searcher.search(node, 10)
+        want = oracle.search(node, 10)
+        assert [(d, np.float32(s)) for d, s in got] == [
+            (d, np.float32(s)) for d, s in want
+        ], q
+
+
 def test_surround_parser(searcher):
     """Surround query language: distance ops map to
     SpanNear(slop=n-1), truncation to SpanMultiTermQueryWrapper,
