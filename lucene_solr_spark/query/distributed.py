@@ -77,15 +77,26 @@ class DistributedSearcher:
     def _text_stats(self) -> DataFrame:
         return self._term_stats.filter(F.col("field") == "text")
 
+    #: broadcast the tombstone set only while its on-disk footprint is
+    #: small; a BroadcastExchange still collects the build side into the
+    #: driver/executor JVMs (hard caps ~8 GB / 512M rows), so a
+    #: heavily-curated corpus with billions of tombstones must take the
+    #: shuffle anti-join instead.  64 MB of parquet ≈ low tens of
+    #: millions of int64 doc_ids — comfortably broadcastable.
+    _DELETES_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
     def _live(self, plan: DataFrame) -> DataFrame:
-        """Mask tombstoned docs (liveDocs at collection time): a
-        broadcast anti-join against the deletes parquet read DIRECTLY as
-        a DataFrame — the tombstone set never materializes on the driver
-        (VERDICT r2 item 4: a heavily-curated 100-TB corpus can carry
-        billions of tombstones; Lucene50LiveDocsFormat keeps them as
-        per-segment files, our analogue is the append-only deletes/
-        table).  Scores/stats stay unchanged until compaction, exactly
-        the reference's pre-merge delete semantics."""
+        """Mask tombstoned docs (liveDocs at collection time): an
+        anti-join against the deletes parquet read DIRECTLY as a
+        DataFrame — the tombstone set never materializes as Python
+        objects on the driver (VERDICT r2 item 4; Lucene50LiveDocsFormat
+        keeps liveDocs as per-segment files, our analogue is the
+        append-only deletes/ table).  The broadcast hint is applied only
+        while the deletes footprint is under
+        ``_DELETES_BROADCAST_MAX_BYTES``; beyond that the join falls
+        back to a plain shuffle left_anti, which scales to billions of
+        tombstones.  Scores/stats stay unchanged until compaction,
+        exactly the reference's pre-merge delete semantics."""
         import glob
 
         dels = glob.glob(
@@ -94,7 +105,10 @@ class DistributedSearcher:
         if not dels:
             return plan
         del_df = self.spark.read.parquet(*dels).select("doc_id").distinct()
-        return plan.join(F.broadcast(del_df), "doc_id", "left_anti")
+        total_bytes = sum(os.path.getsize(p) for p in dels)
+        if total_bytes <= self._DELETES_BROADCAST_MAX_BYTES:
+            del_df = F.broadcast(del_df)
+        return plan.join(del_df, "doc_id", "left_anti")
 
     def _pruned_postings(self, terms: list[str], cols: list[str],
                          field: str = "text") -> DataFrame:

@@ -1047,12 +1047,19 @@ class LocalSearcher:
         set — dense-table gather when the node supports it (O(|cand|)
         per clause instead of a full disjunction scatter), else full
         evaluation + filter.  Used for composite clauses inside the
-        AND leapfrog, where `cand` is already small."""
+        AND leapfrog, where `cand` is already small.  The dense path is
+        gated on the node's term lists being mostly decoded already
+        (same cold-list guard as the sibling gates above): building a
+        dense table for a cold high-df composite child would force a
+        full-postings decode and defeat block pruning on first-touch
+        queries."""
         if self.max_doc + 1 <= self._DENSE_MAX_DOC:
-            m = self._dense_mask(node)
-            if m is not None:
-                cd = cand[m[cand]]
-                return cd, self._dense_scores_at(node, cd)
+            tnames = [t for f, t in self._collect_terms(node) if f == "text"]
+            if not tnames or not self._mostly_undecoded(tnames):
+                m = self._dense_mask(node)
+                if m is not None:
+                    cd = cand[m[cand]]
+                    return cd, self._dense_scores_at(node, cd)
         cd, cs = self._eval(node)
         m = _sorted_isin(cd, cand)
         return cd[m], cs[m]
