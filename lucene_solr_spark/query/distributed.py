@@ -532,10 +532,11 @@ class DistributedSearcher:
         r2 item 1): ONE pruned position scan for every span term, a
         doc-level candidate conjunction/union per the clause tree, then
         an Arrow-batched kernel enumerates matches per doc with the
-        shared span spec (query/spans.py doc_spans) and scores the
+        shared span spec (query/spans.py semantics, batch CSR kernels
+        from query/spans_batch.py — no per-doc Python) and scores the
         float32 freq = sum 1/(1+width).  The kernel runs on executors
         over only the candidate docs — no driver-side evaluation."""
-        from .spans import doc_spans, span_freq, span_terms
+        from .spans import span_terms
 
         i = clause_idx[0]
         clause_idx[0] += 1
@@ -598,18 +599,33 @@ class DistributedSearcher:
             )
 
         def score_spans(batches):
+            from .spans_batch import (
+                batch_doc_spans, batch_span_freqs, empty, from_positions,
+            )
+
             for pdf in batches:
                 n = len(pdf)
-                freqs = np.zeros(n, dtype=np.float32)
                 tps = pdf["tp"].tolist()
+                # CSR per term (one cheap structural pass), then the
+                # vectorized batch kernels — no per-doc enumeration
+                per_term: dict[str, list] = {t: [None] * n
+                                             for t in all_terms}
                 for r in range(n):
-                    pos_map = {
-                        e["term"]: np.asarray(e["pos"], dtype=np.int64)
-                        for e in tps[r]
-                    }
-                    spans = doc_spans(node, lambda t: pos_map.get(t))
-                    if spans:
-                        freqs[r] = span_freq(spans)
+                    for e in tps[r]:
+                        lst = per_term.get(e["term"])
+                        if lst is not None:
+                            lst[r] = np.asarray(e["pos"], dtype=np.int64)
+                bs_cache = {
+                    t: from_positions(pl, n) for t, pl in per_term.items()
+                }
+
+                def term_batch(t, _c=bs_cache, _n=n):
+                    bs = _c.get(t)
+                    return bs if bs is not None else empty(_n)
+
+                freqs = batch_span_freqs(
+                    batch_doc_spans(node, n, term_batch)
+                )
                 keep = freqs > 0
                 sc = _score_freq_batch(
                     freqs, pdf, classic, dtype, wv if dtype == "float32"

@@ -731,9 +731,10 @@ class LocalSearcher:
         include+exclude terms, a nested one only include).
 
         The ordered all-term SpanNear (the common shape) runs through a
-        fully-vectorized batch enumeration; other shapes evaluate per
-        candidate doc against precomputed position lookups."""
-        from .spans import doc_spans, span_freq, span_terms
+        fully-vectorized batch enumeration; every other shape runs the
+        CSR batch kernels of query/spans_batch.py — no per-doc Python
+        in any span path."""
+        from .spans import span_terms
 
         empty = (np.empty(0, np.int64), np.empty(0, np.float32))
         all_terms = sorted(set(span_terms(node)))
@@ -761,20 +762,33 @@ class LocalSearcher:
                 node[1], node[2], cand, term_data
             )
         else:
-            freqs = np.zeros(cand.size, dtype=np.float32)
-            for ci in range(cand.size):
-                def positions_of(t, _ci=ci):
+            # general shapes (unordered near, nesting, contain family):
+            # batch CSR evaluation — no per-doc Python (spans_batch is
+            # the vectorized restatement of doc_spans)
+            from .spans_batch import (
+                batch_doc_spans, batch_span_freqs, from_positions,
+            )
+            from .spans_batch import empty as empty_batch
+
+            n = cand.size
+            bs_cache: dict[str, object] = {}
+
+            def term_batch(t):
+                bs = bs_cache.get(t)
+                if bs is None:
                     got = term_data.get(t)
                     if got is None:
-                        return None
-                    present, row, pos, _ = got
-                    if present[_ci]:
-                        return pos[row[_ci]]
-                    return None
+                        bs = empty_batch(n)
+                    else:
+                        present, row, pos, _ = got
+                        bs = from_positions(
+                            [pos[r] if p else None for p, r in
+                             zip(present.tolist(), row.tolist())], n
+                        )
+                    bs_cache[t] = bs
+                return bs
 
-                spans = doc_spans(node, positions_of)
-                if spans:
-                    freqs[ci] = span_freq(spans)
+            freqs = batch_span_freqs(batch_doc_spans(node, n, term_batch))
         mask = freqs > 0
         cand, freqs, normsb = cand[mask], freqs[mask], normsb[mask]
         if cand.size == 0:
