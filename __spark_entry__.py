@@ -290,6 +290,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.round("score", 4).alias("score"))
         )
 
+    def lmdirichlet_term_topk(spark, sf):
+        # LMDirichletSimilarity (Bayesian Dirichlet smoothing,
+        # LMDirichletSimilarity.java:66-71) as a third query-time
+        # Similarity over the SAME index: score = max(0,
+        # ln(1 + tf/(mu*pc)) + ln(mu/(dl + mu))) with mu=2000 and
+        # pc = (ttf+1)/(sumTtf+1), all-double in gate mode with exact
+        # dl; the quantized norm-byte serving path is locked by the
+        # pytest rank-identity + distributed-parity suite
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64",
+                                 similarity="lmd")
+        return (
+            ds.search_df("batch", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
     def bm25_term_rare(spark, sf):
         return _topk_engine(spark, sf, "dup")
 
@@ -809,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_norm_bytes": doc_norm_bytes,
         "bm25_term_hi": bm25_term_hi,
         "tfidf_term_topk": tfidf_term_topk,
+        "lmdirichlet_term_topk": lmdirichlet_term_topk,
         "bm25_term_rare": bm25_term_rare,
         "bm25_and": bm25_and,
         "bm25_or": bm25_or,
@@ -1181,6 +1200,17 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   SELECT tf.doc_id,
          sqrt(tf) * (ln((fs.doc_count + 1.0) / (ts.doc_freq + 1.0)) + 1.0)
          / sqrt(dl) AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "lmdirichlet_term_topk": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id,
+         GREATEST(0.0,
+           LN(1.0 + tf / (2000.0 * ((ts.ttf + 1.0) / (fs.sttf + 1.0))))
+           + LN(2000.0 / (dl + 2000.0))) AS score
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10

@@ -44,15 +44,23 @@ from .parser import parse_query
 
 class DistributedSearcher:
     """`similarity` mirrors LocalSearcher: "bm25" (default, k1/b from
-    the index params) or "classic" (TF-IDF, ClassicSimilarity.java —
+    the index params), "classic" (TF-IDF, ClassicSimilarity.java —
     sqrt(tf) * (ln((docCount+1)/(docFreq+1))+1) * norm, where norm is
     byte315ToFloat(norm byte) in serving mode and the exact 1/sqrt(dl)
-    in float64 gate mode)."""
+    in float64 gate mode), or "lmd" (LMDirichletSimilarity.java:66-71 —
+    per-term max(0, ln(1 + tf/(mu*pc)) + ln(mu/(dl+mu))), pc the term's
+    collection probability).  In serving mode lmd keeps the reference's
+    float discipline (float32 pc, norm-byte-decoded docLen — rank-
+    identical to LocalSearcher); in float64 gate mode the whole formula
+    is double with exact dl and pc = (ttf+1)/(sttf+1), bit-stable
+    against an ANSI-SQL twin (same deviation discipline as bm25)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 dtype: str = "float32", similarity: str = "bm25"):
+                 dtype: str = "float32", similarity: str = "bm25",
+                 mu: float = 2000.0):
         assert dtype in ("float32", "float64")
-        assert similarity in ("bm25", "classic")
+        assert similarity in ("bm25", "classic", "lmd")
+        self.mu = float(mu)
         self.spark = spark
         self.index_dir = index_dir
         self.dtype = dtype
@@ -166,13 +174,26 @@ class DistributedSearcher:
         tp = self._decoded_tf_df(terms)
         ts = (
             self._text_stats.filter(F.col("term").isin(terms))
-            .select("term", "doc_freq")
+            .select("term", "doc_freq", "total_term_freq")
         )
         dl = self.spark.read.parquet(
             os.path.join(self.index_dir, "docmap")
         ).select("doc_id", "dl")
         dc, avgdl, k1, b = self.doc_count, self._avgdl, self.k1, self.b
-        if self.similarity == "classic":
+        if self.similarity == "lmd":
+            # all-double lmd with exact dl and pc = (ttf+1)/(sttf+1):
+            # LN(1+x) (not log1p) so an ANSI-SQL twin is bit-stable
+            mu, sttf = self.mu, self.sum_ttf
+            pc = (F.col("total_term_freq") + F.lit(1.0)) / F.lit(
+                sttf + 1.0
+            )
+            score = F.greatest(
+                F.lit(0.0),
+                F.log(F.lit(1.0)
+                      + F.col("tf").cast("double") / (F.lit(mu) * pc))
+                + F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+            )
+        elif self.similarity == "classic":
             score = (
                 F.sqrt(F.col("tf").cast("double"))
                 * (F.log((F.lit(dc) + 1.0) / (F.col("doc_freq") + 1.0))
@@ -205,7 +226,7 @@ class DistributedSearcher:
         if self.dtype == "float64":
             return self._scored_terms_df_double(terms)
         dfs = {
-            r["term"]: int(r["doc_freq"])
+            r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
             for r in self._text_stats.filter(F.col("term").isin(terms)).collect()
         }
         post = self._pruned_postings(
@@ -225,6 +246,9 @@ class DistributedSearcher:
         )
         bc_dfs = self.spark.sparkContext.broadcast(dfs)
         classic = self.similarity == "classic"
+        lmd = self.similarity == "lmd"
+        mu = self.mu
+        sum_ttf = self.sum_ttf
 
         def score_blocks(batches):
             from ..oracle.smallfloat import byte315_to_float
@@ -233,6 +257,9 @@ class DistributedSearcher:
                 byte315_to_float(np.arange(256, dtype=np.uint8))
                 if classic else None
             )
+            if lmd:
+                # SimilarityBase docLen decode == BM25's NORM_TABLE
+                from ..oracle.smallfloat import NORM_TABLE as lmd_dl
             wv_cache: dict[str, np.float32] = {}
             for pdf in batches:
                 outs = []
@@ -249,8 +276,14 @@ class DistributedSearcher:
                     norms = np.frombuffer(row.norms_payload, dtype=np.uint8)
                     wv = wv_cache.get(row.term)
                     if wv is None:
-                        df_t = bc_dfs.value.get(row.term, 0)
-                        if classic:
+                        df_t, ttf_t = bc_dfs.value.get(row.term, (0, 0))
+                        if lmd:
+                            # float32 pc (DefaultCollectionModel +1F)
+                            wv = np.float32(
+                                np.float32(ttf_t + 1.0)
+                                / np.float32(sum_ttf + 1.0)
+                            )
+                        elif classic:
                             wv = np.float32(
                                 np.log((doc_count + 1) / float(df_t + 1))
                                 + 1.0
@@ -263,7 +296,16 @@ class DistributedSearcher:
                             wv = np.float32(idf * (k1 + np.float32(1.0)))
                         wv_cache[row.term] = wv
                     freq = tfs.astype(np.float32)
-                    if classic:
+                    if lmd:
+                        # LocalSearcher._lmd_score float discipline
+                        dl64 = lmd_dl[norms].astype(np.float64)
+                        s = (
+                            np.log1p(freq.astype(np.float64)
+                                     / (mu * float(wv)))
+                            + np.log(mu / (dl64 + mu))
+                        ).astype(np.float32)
+                        sc = np.maximum(s, np.float32(0.0))
+                    elif classic:
                         raw = (np.sqrt(freq, dtype=np.float32) * wv).astype(
                             np.float32
                         )
@@ -384,6 +426,68 @@ class DistributedSearcher:
             dec, "term string, doc_id long, norm int, pos array<long>"
         )
 
+    def _freq_weights(self, dfs: dict, terms: list):
+        """Clause weights for the shared phrase/span freq->score kernel
+        (`_score_freq_batch`), per similarity and mode.  `dfs` maps
+        term -> (doc_freq, total_term_freq); `terms` lists the scoring
+        clauses (duplicates included for phrases, deduplicated for
+        spans — mirroring the termStats[] handed to
+        Similarity.computeWeight / SpanWeight.buildSimWeight).
+
+        Returns (wv, cache, idf_sum_d, lmd_w), unused slots None:
+        - float32 serving: `wv` the summed-idf weight (bm25 *(k1+1),
+          classic raw), `cache` the bm25 norm cache; for "lmd"
+          instead `lmd_w` = float32 collection probability per clause
+          (LMSimilarity.DefaultCollectionModel float division);
+        - float64 gate: `idf_sum_d` the summed double idf; for "lmd"
+          `lmd_w` = exact double (ttf+1)/(sttf+1) per clause, matching
+          the all-double ANSI-SQL twin."""
+        dc = self.doc_count
+        classic = self.similarity == "classic"
+        if self.similarity == "lmd":
+            ttfs = [dfs.get(t, (0, 0))[1] for t in terms]
+            if self.dtype == "float32":
+                lmd_w = np.array(
+                    [np.float32(np.float32(ttf + 1.0)
+                                / np.float32(self.sum_ttf + 1.0))
+                     for ttf in ttfs], dtype=np.float32)
+            else:
+                lmd_w = np.array(
+                    [(ttf + 1.0) / (self.sum_ttf + 1.0) for ttf in ttfs],
+                    dtype=np.float64)
+            return None, None, None, lmd_w
+        if self.dtype == "float32":
+            k1f = np.float32(self.k1)
+            bf = np.float32(self.b)
+            avgdl_f = (
+                np.float32(self.sum_ttf / float(dc))
+                if self.sum_ttf > 0 else np.float32(1.0)
+            )
+            cache = (
+                k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / avgdl_f)
+            ).astype(np.float32)
+            idf_sum = np.float32(0.0)
+            for t in terms:
+                df_t = dfs.get(t, (0, 0))[0]
+                idf_sum = np.float32(idf_sum + (
+                    np.float32(np.log((dc + 1) / float(df_t + 1)) + 1.0)
+                    if classic else
+                    np.float32(np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5)))
+                ))
+            wv = (
+                idf_sum if classic
+                else np.float32(idf_sum * (k1f + np.float32(1.0)))
+            )
+            return wv, cache, None, None
+        idf_sum_d = sum(
+            (math.log((dc + 1.0) / (dfs.get(t, (0, 0))[0] + 1.0)) + 1.0)
+            if classic else
+            math.log(1.0 + (dc - dfs.get(t, (0, 0))[0] + 0.5)
+                     / (dfs.get(t, (0, 0))[0] + 0.5))
+            for t in terms
+        )
+        return None, None, idf_sum_d, None
+
     def _phrase_plan(self, clauses, slop: int,
                      clause_idx: list[int]) -> DataFrame:
         """Distributed Exact/SloppyPhraseScorer (VERDICT r1 item 2 — the
@@ -407,7 +511,7 @@ class DistributedSearcher:
             cdf = pos_df.filter(F.col("term") == t).select(*sel)
             joined = cdf if joined is None else joined.join(cdf, "doc_id")
         dfs = {
-            r["term"]: int(r["doc_freq"])
+            r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
             for r in self._text_stats.filter(F.col("term").isin(terms))
             .collect()
         }
@@ -422,35 +526,8 @@ class DistributedSearcher:
         dtype = self.dtype
         st = self._st
         classic = self.similarity == "classic"
-        if dtype == "float32":
-            k1f = np.float32(self.k1)
-            bf = np.float32(self.b)
-            avgdl_f = (
-                np.float32(self.sum_ttf / float(dc))
-                if self.sum_ttf > 0 else np.float32(1.0)
-            )
-            cache = (
-                k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / avgdl_f)
-            ).astype(np.float32)
-            idf_sum = np.float32(0.0)
-            for t in terms:
-                df_t = dfs.get(t, 0)
-                idf_sum = np.float32(idf_sum + (
-                    np.float32(np.log((dc + 1) / float(df_t + 1)) + 1.0)
-                    if classic else
-                    np.float32(np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5)))
-                ))
-            wv = (
-                idf_sum if classic
-                else np.float32(idf_sum * (k1f + np.float32(1.0)))
-            )
-        else:
-            idf_sum_d = sum(
-                (math.log((dc + 1.0) / (dfs.get(t, 0) + 1.0)) + 1.0)
-                if classic else
-                math.log(1.0 + (dc - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
-                for t in terms
-            )
+        wv, cache, idf_sum_d, lmd_w = self._freq_weights(dfs, terms)
+        mu = self.mu
 
         from .sloppy import repeat_groups
 
@@ -479,10 +556,8 @@ class DistributedSearcher:
                         freqs[r] = sloppy_freq(arrs, rels, slop, groups)
                 keep = freqs > 0
                 sc = _score_freq_batch(
-                    freqs, pdf, classic, dtype, wv if dtype == "float32"
-                    else None, cache if dtype == "float32" else None,
-                    idf_sum_d if dtype == "float64" else None,
-                    k1d, bd, avgdl_d,
+                    freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
+                    k1d, bd, avgdl_d, lmd_w, mu,
                 )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
@@ -560,43 +635,15 @@ class DistributedSearcher:
         # (SpanWeight.buildSimWeight term map)
         sterms = sorted(set(span_terms(node, scoring=True, top=True)))
         dfs = {
-            r["term"]: int(r["doc_freq"])
+            r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
             for r in self._text_stats.filter(F.col("term").isin(sterms))
             .collect()
         }
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
         dtype, st = self.dtype, self._st
         classic = self.similarity == "classic"
-        if dtype == "float32":
-            k1f = np.float32(self.k1)
-            bf = np.float32(self.b)
-            avgdl_f = (
-                np.float32(self.sum_ttf / float(dc))
-                if self.sum_ttf > 0 else np.float32(1.0)
-            )
-            cache = (
-                k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / avgdl_f)
-            ).astype(np.float32)
-            idf_sum = np.float32(0.0)
-            for t in sterms:
-                df_t = dfs.get(t, 0)
-                idf_sum = np.float32(idf_sum + (
-                    np.float32(np.log((dc + 1) / float(df_t + 1)) + 1.0)
-                    if classic else
-                    np.float32(np.log(1 + (dc - df_t + 0.5) / (df_t + 0.5)))
-                ))
-            wv = (
-                idf_sum if classic
-                else np.float32(idf_sum * (k1f + np.float32(1.0)))
-            )
-        else:
-            idf_sum_d = sum(
-                (math.log((dc + 1.0) / (dfs.get(t, 0) + 1.0)) + 1.0)
-                if classic else
-                math.log(1.0 + (dc - dfs.get(t, 0) + 0.5)
-                         / (dfs.get(t, 0) + 0.5))
-                for t in sterms
-            )
+        wv, cache, idf_sum_d, lmd_w = self._freq_weights(dfs, sterms)
+        mu = self.mu
 
         def score_spans(batches):
             from .spans_batch import (
@@ -628,10 +675,8 @@ class DistributedSearcher:
                 )
                 keep = freqs > 0
                 sc = _score_freq_batch(
-                    freqs, pdf, classic, dtype, wv if dtype == "float32"
-                    else None, cache if dtype == "float32" else None,
-                    idf_sum_d if dtype == "float64" else None,
-                    k1d, bd, avgdl_d,
+                    freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
+                    k1d, bd, avgdl_d, lmd_w, mu,
                 )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
@@ -986,9 +1031,41 @@ class DistributedSearcher:
 
 
 def _score_freq_batch(freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
-                      k1d, bd, avgdl_d):
+                      k1d, bd, avgdl_d, lmd_w=None, mu=2000.0):
     """Shared phrase/span freq->score kernel per similarity and mode:
-    float32 serving (quantized norm byte) or float64 gate (exact dl)."""
+    float32 serving (quantized norm byte) or float64 gate (exact dl).
+    `lmd_w` carries the per-clause collection probabilities for "lmd"
+    (LMDirichletSimilarity.score summed per MultiSimScorer at the
+    shared phrase/span freq); the serving path decodes docLen from the
+    SimilarityBase norm byte (1/(f*f)) and keeps LocalSearcher's
+    per-term-float32 sum discipline, the gate path is all-double with
+    exact dl so an ANSI-SQL twin is bit-stable."""
+    if lmd_w is not None:
+        if dtype == "float32":
+            # SimilarityBase docLen decode == BM25's NORM_TABLE
+            dl = NORM_TABLE[pdf["norm"].to_numpy().astype(np.uint8)].astype(
+                np.float64
+            )
+            fq = freqs.astype(np.float64)
+            dnorm = np.log(mu / (dl + mu))
+            total = np.zeros(fq.size, dtype=np.float32)
+            for pc in lmd_w:
+                s = (np.log1p(fq / (mu * float(pc))) + dnorm).astype(
+                    np.float32
+                )
+                total = (
+                    total + np.maximum(s, np.float32(0.0))
+                ).astype(np.float32)
+            return total
+        dl = pdf["dl"].to_numpy().astype(np.float64)
+        fq = freqs.astype(np.float64)
+        dnorm = np.log(mu / (dl + mu))
+        total_d = np.zeros(fq.size, dtype=np.float64)
+        for pc in lmd_w:
+            total_d += np.maximum(
+                np.log(1.0 + fq / (mu * float(pc))) + dnorm, 0.0
+            )
+        return total_d
     if dtype == "float32":
         if classic:
             from ..oracle.smallfloat import byte315_to_float

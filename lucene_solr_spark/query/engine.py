@@ -45,7 +45,7 @@ class _TermPostings:
     """Decoded-on-demand posting list of one term: sorted docs, tfs, norms,
     plus per-block metadata for range skipping."""
 
-    __slots__ = ("term", "n_docs", "blocks", "_decoded", "_full")
+    __slots__ = ("term", "n_docs", "ttf", "blocks", "_decoded", "_full")
 
     def __init__(self, term: str, block_rows: list[dict]):
         self.term = term
@@ -57,6 +57,8 @@ class _TermPostings:
             key=lambda r: (r.get("seg", 0), r["salt"], r["block_id"]),
         )
         self.n_docs = sum(b["doc_count"] for b in self.blocks)
+        #: collection totalTermFreq, rolled up from block metadata
+        self.ttf = sum(int(b.get("sum_tf") or 0) for b in self.blocks)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
@@ -141,15 +143,31 @@ class LocalSearcher:
       score = sqrt(freq) * idf * byte315ToFloat(norm) with
       idf = ln((docCount+1)/(docFreq+1)) + 1
       (similarities/ClassicSimilarity.java:50-79,
-      TFIDFSimilarity.java:98-110 raw = tf(freq)*weight, then * norm).
+      TFIDFSimilarity.java:98-110 raw = tf(freq)*weight, then * norm);
+    - "lmd": LMDirichletSimilarity (Bayesian Dirichlet smoothing,
+      similarities/LMDirichletSimilarity.java:66-71) — per-term
+      score = max(0, ln(1 + freq/(mu*pc)) + ln(mu/(docLen+mu))) with
+      pc = (totalTermFreq+1)/(sumTotalTermFreq+1) float32
+      (LMSimilarity.DefaultCollectionModel) and docLen decoded from the
+      SimilarityBase norm byte (1/(f*f)); multi-term weights sum the
+      per-term scores at the shared freq
+      (MultiSimilarity.MultiSimScorer).  LMD scores can be exactly 0
+      for a matching doc, so the score-nonzero-derived dense/pruned
+      fast paths are bypassed (the exhaustive evaluator is always
+      used) — correct, not the perf headline.
     """
 
     def __init__(self, index_dir: str, pruning: bool = True,
-                 similarity: str = "bm25"):
-        assert similarity in ("bm25", "classic")
+                 similarity: str = "bm25", mu: float = 2000.0):
+        assert similarity in ("bm25", "classic", "lmd")
         self.index_dir = index_dir
         self.pruning = pruning
         self.similarity = similarity
+        self.mu = float(mu)
+        #: fast paths (block-max pruning, dense tables, TA, topcand)
+        #: assume score > 0 for every present posting — true for
+        #: bm25/classic, not for lmd
+        self._fastpaths = similarity != "lmd"
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             m = json.load(f)
         self.params = m["params"]
@@ -239,6 +257,63 @@ class LocalSearcher:
             return idf_sum
         return np.float32(idf_sum * (self.k1 + np.float32(1.0)))
 
+    def _term_wv(self, tp: "_TermPostings"):
+        """Per-leaf weight for the scoring kernel: lmd needs the term's
+        collection probability, bm25/classic the idf-derived wv."""
+        if self.similarity == "lmd":
+            return self._lmd_pc(tp.ttf)
+        return self._weight_value(tp.n_docs)
+
+    def _multi_wv(self, tps: list["_TermPostings"]):
+        """Weight of a multi-term (phrase/span) node: lmd carries the
+        per-clause pc array (duplicates included, like the termStats[]
+        handed to Similarity.computeWeight); bm25/classic the idf sum."""
+        if self.similarity == "lmd":
+            return np.array([self._lmd_pc(tp.ttf) for tp in tps],
+                            dtype=np.float64)
+        idf_sum = np.float32(0.0)
+        for tp in tps:
+            idf_sum = np.float32(idf_sum + self._idf(tp.n_docs))
+        return self._wv_from_idf_sum(idf_sum)
+
+    @property
+    def _lmd_dl(self) -> np.ndarray:
+        """SimilarityBase.NORM_TABLE (SimilarityBase.java:220-227):
+        decodeNormValue(byte) = 1/(f*f) with f = byte315ToFloat(byte),
+        entry 0 patched to 1/table[255] (otherwise inf)."""
+        from ..oracle.smallfloat import NORM_TABLE
+
+        # identical construction to BM25's NORM_TABLE (1/f^2, entry 0
+        # patched to 1/table[255]) — reuse it
+        return NORM_TABLE
+
+    def _lmd_pc(self, ttf: int) -> np.float32:
+        """LMSimilarity.DefaultCollectionModel.computeProbability:
+        (totalTermFreq+1F)/(numberOfFieldTokens+1F) — FLOAT division."""
+        return np.float32(
+            np.float32(ttf + 1.0) / np.float32(self.sum_ttf + 1.0)
+        )
+
+    def _lmd_score(self, freq: np.ndarray, dl: np.ndarray,
+                   pcs) -> np.ndarray:
+        """LMDirichletSimilarity.score for float64 freq/docLen arrays:
+        per term pc, (float)(ln(1+freq/(mu*pc)) + ln(mu/(docLen+mu)))
+        clipped at 0 (SimilarityBase.score returns 0 for negative);
+        multi-term trees sum the clipped per-term float32 scores in
+        order (MultiSimilarity.MultiSimScorer.score)."""
+        mu = self.mu
+        dnorm = np.log(mu / (dl + mu))
+        pcs = np.atleast_1d(np.asarray(pcs, dtype=np.float64))
+        total = np.zeros(freq.size, dtype=np.float32)
+        for pc in pcs:
+            s = (np.log1p(freq / (mu * float(pc))) + dnorm).astype(
+                np.float32
+            )
+            total = (
+                total + np.maximum(s, np.float32(0.0))
+            ).astype(np.float32)
+        return total
+
     @property
     def _classic_norms(self) -> np.ndarray:
         """TFIDFSimilarity NORM_TABLE: byte315ToFloat per byte."""
@@ -254,7 +329,14 @@ class LocalSearcher:
     def _score_freqs(self, freq: np.ndarray, norms: np.ndarray,
                      wv: np.float32) -> np.ndarray:
         """score(doc, freq) for float32 freqs + norm bytes: the shared
-        term/phrase/span scoring kernel, per similarity."""
+        term/phrase/span scoring kernel, per similarity.  For "lmd",
+        `wv` carries the per-term collection probability (scalar for a
+        term, array for multi-term phrase/span weights)."""
+        if self.similarity == "lmd":
+            return self._lmd_score(
+                freq.astype(np.float64),
+                self._lmd_dl[norms].astype(np.float64), wv,
+            )
         if self.similarity == "classic":
             raw = (np.sqrt(freq, dtype=np.float32) * wv).astype(np.float32)
             return (raw * self._classic_norms[norms]).astype(np.float32)
@@ -276,7 +358,7 @@ class LocalSearcher:
             return hit
         tp = self._tp(term)
         docs, tfs, norms = tp.decode_all()
-        wv = self._weight_value(tp.n_docs)
+        wv = self._term_wv(tp)
         out = (docs, self._score_arrays(tfs, norms, wv))
         got[term] = out
         return out
@@ -302,7 +384,7 @@ class LocalSearcher:
         if docs.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         mask = _sorted_isin(docs, candidates)
-        wv = self._weight_value(tp.n_docs)
+        wv = self._term_wv(tp)
         return docs[mask], self._score_arrays(tfs[mask], norms[mask], wv)
 
     # ---------------------------------------------------------- rewrite
@@ -525,11 +607,8 @@ class LocalSearcher:
         cand, freqs, norms0 = cand[mask], freqs[mask], norms0[mask]
         if cand.size == 0:
             return empty
-        # idf sum over clauses (duplicates included, like termStats[])
-        idf_sum = np.float32(0.0)
-        for tp in tps:
-            idf_sum = np.float32(idf_sum + self._idf(tp.n_docs))
-        wv = self._wv_from_idf_sum(idf_sum)
+        # weight over clauses (duplicates included, like termStats[])
+        wv = self._multi_wv(tps)
         scores = self._score_freqs(freqs, norms0, wv)
         return cand, scores
 
@@ -559,6 +638,21 @@ class LocalSearcher:
         dc_f = int(self.fstats.get(field, {}).get("doc_count", 0))
         df = tp.n_docs
         freq = tfs.astype(np.float32)
+        if self.similarity == "lmd":
+            # norms == null -> docLen = 1F (SimilarityBase.simScorer);
+            # pc over the FIELD's token count (per-field stats)
+            sttf_f = int(
+                self.fstats.get(field, {}).get("sum_total_term_freq", 0)
+                or 0
+            )
+            pc = np.float32(
+                np.float32(tp.ttf + 1.0) / np.float32(sttf_f + 1.0)
+            )
+            s = (
+                np.log1p(freq.astype(np.float64) / (self.mu * float(pc)))
+                + np.log(self.mu / (1.0 + self.mu))
+            ).astype(np.float32)
+            return docs, np.maximum(s, np.float32(0.0))
         if self.similarity == "classic":
             # TFIDFSimScorer with norms == null returns raw (no norm)
             idf = np.float32(np.log((dc_f + 1) / float(df + 1)) + 1.0)
@@ -793,10 +887,10 @@ class LocalSearcher:
         cand, freqs, normsb = cand[mask], freqs[mask], normsb[mask]
         if cand.size == 0:
             return empty
-        idf_sum = np.float32(0.0)
-        for t in sorted(set(span_terms(node, scoring=True, top=True))):
-            idf_sum = np.float32(idf_sum + self._idf(self._tp(t).n_docs))
-        wv = self._wv_from_idf_sum(idf_sum)
+        wv = self._multi_wv(
+            [self._tp(t)
+             for t in sorted(set(span_terms(node, scoring=True, top=True)))]
+        )
         scores = self._score_freqs(freqs, normsb, wv)
         return cand, scores
 
@@ -879,7 +973,7 @@ class LocalSearcher:
             # lookups touch only O(min df) postings, so it stays the
             # winner; cold term lists also keep the leapfrog, whose
             # block-range skipping avoids decoding non-candidate blocks.
-            if self.max_doc + 1 <= self._DENSE_MAX_DOC:
+            if self.max_doc + 1 <= self._DENSE_MAX_DOC and self._fastpaths:
                 tnames = [t for f, t in self._collect_terms(node)
                           if f == "text"]
                 costs = [self._cost_of(c) for c in children]
@@ -1067,7 +1161,7 @@ class LocalSearcher:
         dense table for a cold high-df composite child would force a
         full-postings decode and defeat block pruning on first-touch
         queries."""
-        if self.max_doc + 1 <= self._DENSE_MAX_DOC:
+        if self.max_doc + 1 <= self._DENSE_MAX_DOC and self._fastpaths:
             tnames = [t for f, t in self._collect_terms(node) if f == "text"]
             if not tnames or not self._mostly_undecoded(tnames):
                 m = self._dense_mask(node)
@@ -1524,7 +1618,7 @@ class LocalSearcher:
         self._load_terms(terms)
         self._eval_memo: dict = {}
         pruned_terms = None
-        if self.pruning and k is not None:
+        if self.pruning and k is not None and self._fastpaths:
             if node[0] == "term":
                 pruned_terms = [node[1]]
             elif (
@@ -1549,11 +1643,12 @@ class LocalSearcher:
                     pruned_terms, k, after=after
                 )
         else:
-            if node[0] == "term" and k is not None:
+            if node[0] == "term" and k is not None and self._fastpaths:
                 hits = self._search_term_topcand(node[1], k, after=after)
                 if hits is not None:
                     return hits
-            if node[0] in ("and", "or", "msm_or") and k is not None:
+            if (node[0] in ("and", "or", "msm_or") and k is not None
+                    and self._fastpaths):
                 # warm boolean tree: threshold-algorithm early
                 # termination over cached score-descending leaf lists
                 hits = self._search_tree_ta(node, k, after=after)

@@ -179,3 +179,81 @@ def test_various_k(local_searcher, oracle, query_set):
             f"k={k}", local_searcher.search(query_set[0][1], k),
             oracle.search(node, k),
         )
+
+
+def test_lmd_similarity_rank_identity(index_dir, oracle):
+    """LMDirichletSimilarity as a third query-time Similarity over the
+    same index: engine scores equal an independent float32 twin built
+    straight from the oracle's postings — per term
+    score = max(0, float32(ln(1 + tf/(mu*pc)) + ln(mu/(docLen+mu))))
+    with pc = float32((ttf+1)/(sumTtf+1)) and docLen decoded from the
+    SimilarityBase norm byte (1/(f*f), entry 0 patched)
+    (LMDirichletSimilarity.java:66-71, SimilarityBase.java:220-227,
+    LMSimilarity.DefaultCollectionModel); boolean nodes sum the clipped
+    per-term float32 scores in double exactly like BM25."""
+    import numpy as np
+
+    from lucene_solr_spark.oracle.smallfloat import byte315_to_float
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    s = LocalSearcher(index_dir, similarity="lmd")
+    mu = 2000.0
+    f = byte315_to_float(np.arange(256, dtype=np.uint8))
+    with np.errstate(divide="ignore"):
+        tbl = (np.float32(1.0) / (f * f)).astype(np.float32)
+    tbl[0] = np.float32(1.0) / tbl[255]
+    sum_ttf = sum(int(p[1].sum()) for p in oracle.postings.values())
+
+    def lmd_term(term):
+        docs, tfs = oracle.postings[term]
+        pc = np.float32(
+            np.float32(int(tfs.sum()) + 1.0) / np.float32(sum_ttf + 1.0)
+        )
+        dl = tbl[oracle.norm_bytes[docs]].astype(np.float64)
+        sc = (
+            np.log1p(tfs.astype(np.float64) / (mu * float(pc)))
+            + np.log(mu / (dl + mu))
+        ).astype(np.float32)
+        return docs, np.maximum(sc, np.float32(0.0))
+
+    def topk(docs, scores, k=10):
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+    for t in ("retry", "deploy", "cache", "pipeline"):
+        want = topk(*lmd_term(t))
+        assert [(d, np.float32(x)) for d, x in s.search(t, 10)] == want, t
+    # boolean AND: double-sum of the clipped float32 term scores
+    da, sa = lmd_term("retry")
+    db, sb = lmd_term("deploy")
+    inter = np.intersect1d(da, db, assume_unique=True)
+    ia = np.searchsorted(da, inter)
+    ib = np.searchsorted(db, inter)
+    summed = (sa[ia].astype(np.float64) + sb[ib].astype(np.float64)).astype(
+        np.float32
+    )
+    assert [(d, np.float32(x)) for d, x in s.search("retry AND deploy", 10)
+            ] == topk(inter, summed)
+
+
+def test_lmd_similarity_distributed_matches_local(spark, index_dir):
+    """LMD float32 serving mode: DistributedSearcher == LocalSearcher
+    across term/boolean/phrase/span shapes (the pc/docLen float
+    discipline must survive the executor kernels)."""
+    import numpy as np
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    ls = LocalSearcher(index_dir, similarity="lmd")
+    ds = DistributedSearcher(spark, index_dir, similarity="lmd")
+    near = ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3,
+            True)
+    n_nonempty = 0
+    for q in ["retry", "retry AND deploy", "retry OR cache",
+              '"retry deploy"~2', near]:
+        a = [(d, np.float32(s)) for d, s in ls.search(q, 10)]
+        b = [(d, np.float32(s)) for d, s in ds.search(q, 10)]
+        n_nonempty += bool(a)
+        assert a == b, q
+    assert n_nonempty >= 3

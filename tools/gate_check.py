@@ -13,7 +13,7 @@ import duckdb
 import pandas as pd
 
 
-def compare(sf_dir: str) -> int:
+def compare(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as E
     from lucene_solr_spark.session import get_spark
 
@@ -27,6 +27,8 @@ def compare(sf_dir: str) -> int:
 
     qs = E.queries()
     sqls = E.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -65,18 +67,19 @@ def compare(sf_dir: str) -> int:
             failures += 1
             print(f"  {name}: ERROR {type(ex).__name__}: {ex}")
     # entry smoke
-    try:
-        n = E.entry(spark).count()
-        print(f"  entry(): {n} rows")
-    except Exception as ex:  # noqa: BLE001
-        failures += 1
-        print(f"  entry(): ERROR {ex}")
+    if not only:
+        try:
+            n = E.entry(spark).count()
+            print(f"  entry(): {n} rows")
+        except Exception as ex:  # noqa: BLE001
+            failures += 1
+            print(f"  entry(): ERROR {ex}")
     spark.stop()
     return failures
 
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = compare(sf)
+    rc = compare(sf, only=sys.argv[2:] or None)
     print("FAILURES:", rc)
     sys.exit(1 if rc else 0)
