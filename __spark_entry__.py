@@ -499,10 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def highlight_term(spark, sf):
         # position-based highlighting: every doc matching 'dup' with
-        # the first-match token window (wrap off so the snippet is a
-        # pure token-slice, exactly SQL-reconstructible; wrapped
-        # passages + multi-passage + phrase/span highlighting are
-        # locked by pytest)
+        # its BEST BM25-scored passage (PassageScorer.java:79-117 —
+        # window-merged match islands, norm(start) * weight * tf,
+        # top-1 by score; wrap off so the snippet is a pure
+        # token-slice, exactly SQL-reconstructible; wrapped passages +
+        # multi-passage + phrase/span highlighting are locked by
+        # pytest)
         import pandas as pd
 
         from lucene_solr_spark.query.highlight import doc_highlights
@@ -545,6 +547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         idx = _ensure_index(spark, sf)
         return suggest_df(spark, idx, "qury", k=5)
+
+    def suggest_prefix_topk(spark, sf):
+        # AnalyzingSuggester completion role (weight = doc_freq, order
+        # weight DESC then term ASC, AnalyzingSuggester.java:170-186)
+        # over the index's term dictionary; the prefix predicate is
+        # pushed into the parquet scan
+        from lucene_solr_spark.query.suggest import suggest_prefix_df
+
+        idx = _ensure_index(spark, sf)
+        return suggest_prefix_df(spark, idx, "s", k=10)
 
     def phrase_sloppy_repeats(spark, sf):
         # repeated-term sloppy phrase (the hasRpts path,
@@ -729,13 +741,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash(d, nbits=16)
 
     def dedup_embedding_cosine(spark, sf):
-        # embedding-cosine near-dup pairs: LSH-bucketed candidates
-        # (never all-pairs), exact cosine verify, rounded-threshold
-        # filter so the SQL twin agrees at the boundary
+        # embedding-cosine near-dup pairs: multi-band LSH-bucketed
+        # candidates (3 OR-composed bands — never all-pairs, recall
+        # measured >= 0.95 by the pytest recall test), exact cosine
+        # verify, rounded-threshold filter so the SQL twin agrees at
+        # the boundary
         from lucene_solr_spark.operators.ann import cosine_near_dup_pairs
 
         e = _tbl(spark, sf, "embeddings")
-        return cosine_near_dup_pairs(e, threshold=0.35)
+        return cosine_near_dup_pairs(e, threshold=0.35, n_bands=3)
 
     def text_langid(spark, sf):
         return langid(_tbl(spark, sf, "documents"))
@@ -836,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy": phrase_sloppy,
         "phrase_sloppy_repeats": phrase_sloppy_repeats,
         "spellcheck_suggest": spellcheck_suggest,
+        "suggest_prefix_topk": suggest_prefix_topk,
         "mlt_topk": mlt_topk,
         "highlight_term": highlight_term,
         "surround_membership": surround_membership,
@@ -993,10 +1008,11 @@ ORDER BY raw DESC, vec_id LIMIT 10
 """
 
 
-def _embedding_near_dup_sql(threshold: float) -> str:
+def _embedding_near_dup_sql(threshold: float, nbits: int = 4,
+                            n_bands: int = 1) -> str:
     from lucene_solr_spark.operators.ann import hyperplanes
 
-    planes = hyperplanes(64, 4, seed=7)
+    planes = hyperplanes(64, nbits * n_bands, seed=7)
 
     def dot(vec_expr: str, p) -> str:
         return " + ".join(
@@ -1004,13 +1020,21 @@ def _embedding_near_dup_sql(threshold: float) -> str:
             for i in range(64)
         )
 
-    bucket = " || ".join(
-        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
+    def bucket(band: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN {dot('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+            for p in planes[band * nbits:(band + 1) * nbits]
+        )
+
+    bucket_cols = ",\n         ".join(
+        f"({bucket(i)}) AS b{i}" for i in range(n_bands)
     )
+    # OR over the band buckets == the union of per-band candidate
+    # joins with the duplicates removed (the Spark side's distinct)
+    on_bands = " OR ".join(f"x.b{i} = y.b{i}" for i in range(n_bands))
     return f"""
 WITH bk AS (
-  SELECT vec_id, embedding, ({bucket}) AS bucket,
+  SELECT vec_id, embedding, {bucket_cols},
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
@@ -1021,7 +1045,7 @@ pairs AS (
            list_sum(list_transform(list_zip(x.embedding, y.embedding),
                     v -> CAST(v[1] AS DOUBLE) * CAST(v[2] AS DOUBLE)))
            / (x.nrm * y.nrm), 4) AS cosine
-  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  FROM bk x JOIN bk y ON ({on_bands}) AND x.vec_id < y.vec_id
 )
 SELECT a, b, cosine FROM pairs WHERE cosine >= {threshold}
 """
@@ -1154,13 +1178,48 @@ WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
 """,
         "highlight_term": f"""
 WITH {_PTOK_CTE},
-m AS (SELECT doc_id, MIN(pos) AS p FROM ptok WHERE t = 'dup'
-      GROUP BY doc_id)
-SELECT m.doc_id,
-       array_to_string(
-         list_slice(sp.sp, GREATEST(1, p - 2),
-                    LEAST(len(sp.sp), p + 4)), ' ') AS snippet
-FROM m JOIN sp USING (doc_id)
+-- PassageScorer twin (k1=1.2 b=0.75 pivot=10 tokens, window=3):
+-- match islands merge when the gap <= 2*window+1, each island is
+-- scored norm(lo) * weight(contentLength, ttf) * tf(freq, len),
+-- the top passage per doc (score DESC, lo ASC) makes the snippet
+hits AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos - prev > 7 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (SELECT doc_id, pos,
+               COALESCE(LAG(pos) OVER (PARTITION BY doc_id
+                                       ORDER BY pos), pos) AS prev
+        FROM ptok WHERE t = 'dup')
+),
+docstat AS (
+  SELECT h.doc_id, len(sp.sp) AS n,
+         (SELECT COUNT(*) FROM ptok p
+          WHERE p.doc_id = h.doc_id AND p.t = 'dup') AS ttf
+  FROM (SELECT DISTINCT doc_id FROM hits) h JOIN sp ON sp.doc_id = h.doc_id
+),
+isles AS (
+  SELECT doc_id, isl, GREATEST(MIN(pos) - 3, 0) AS lo,
+         COUNT(*)::INT AS tfp, MAX(pos) AS pmax
+  FROM hits GROUP BY doc_id, isl
+),
+scored AS (
+  SELECT i.doc_id, i.lo, LEAST(i.pmax + 4, d.n) AS hi,
+         (1.0 + 1.0 / LN(10.0 + i.lo))
+         * (2.2 * LN(1.0 + ((1.0 + d.n / 10.0) + 0.5) / (d.ttf + 0.5)))
+         * (i.tfp / (i.tfp + 1.2 * (0.25
+             + 0.075 * (LEAST(i.pmax + 4, d.n) - i.lo)))) AS score
+  FROM isles i JOIN docstat d USING (doc_id)
+),
+best AS (
+  SELECT doc_id, lo, hi,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lo ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id,
+       array_to_string(list_slice(sp.sp, b.lo + 1, b.hi), ' ') AS snippet
+FROM best b JOIN sp ON sp.doc_id = b.doc_id
+WHERE b.rn = 1
 """,
         "mlt_topk": f"""
 WITH {_TOK_CTE},
@@ -1193,6 +1252,11 @@ WHERE term <> 'qury'
   AND 1.0 - damerau_levenshtein('qury', term) * 1.0
       / LEAST(len('qury'), len(term)) >= 0.5
 ORDER BY score DESC, doc_freq DESC, term ASC LIMIT 5
+""",
+        "suggest_prefix_topk": f"""
+WITH {_TOK_CTE}
+SELECT term, doc_freq FROM ts WHERE term LIKE 's%'
+ORDER BY doc_freq DESC, term ASC LIMIT 10
 """,
         "tfidf_term_topk": f"""
 WITH {_TOK_CTE}
@@ -1469,7 +1533,7 @@ JOIN sz za ON za.doc_id = i.a
 JOIN sz zb ON zb.doc_id = i.b
 """,
         "dedup_simhash": _simhash_sql(),
-        "dedup_embedding_cosine": _embedding_near_dup_sql(0.35),
+        "dedup_embedding_cosine": _embedding_near_dup_sql(0.35, n_bands=3),
         "text_langid": f"""
 WITH f AS (SELECT doc_id, {_TEXTFEAT_COLS.format(stops=_STOPS_SQL)} FROM documents)
 SELECT doc_id,

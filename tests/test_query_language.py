@@ -392,13 +392,15 @@ def test_highlighter():
     from lucene_solr_spark.query.highlight import doc_highlights
 
     text = "the quick brown fox jumps over the lazy dog fox trot"
+    # overlapping match windows merge into ONE passage (the
+    # FieldHighlighter while-loop groups same-passage matches)
     assert doc_highlights(text, ("term", "fox")) == [
-        "the quick brown <b>fox</b> jumps over the",
-        "the lazy dog <b>fox</b> trot",
+        "the quick brown <b>fox</b> jumps over the lazy dog <b>fox</b>"
+        " trot",
     ]
     assert doc_highlights(text, ("term", "fox"), max_passages=1,
                           wrap=False) == [
-        "the quick brown fox jumps over the"
+        "the quick brown fox jumps over the lazy dog fox trot"
     ]
     # phrase: both tokens wrapped, window around the whole span
     assert doc_highlights(text, ("phrase", [("quick", 0), ("brown", 1)])
@@ -412,12 +414,37 @@ def test_highlighter():
     assert doc_highlights(text, near) == [
         "the lazy dog <b>fox</b> <b>trot</b>"
     ]
-    # boolean fallback: each matching term highlighted separately
+    # boolean fallback: every matching term highlighted (adjacent
+    # windows merge into one passage)
     got = doc_highlights(text, ("and", [("term", "quick"),
                                         ("term", "dog")]))
-    assert len(got) == 2 and "<b>quick</b>" in got[0] and "<b>dog</b>" in got[1]
+    assert len(got) == 1 and "<b>quick</b>" in got[0] and "<b>dog</b>" in got[0]
     # no match
     assert doc_highlights(text, ("term", "zebra")) == []
+
+
+def test_highlight_passage_scoring():
+    """BM25 passage selection (PassageScorer.java:79-117): with
+    max_passages=1 the HIGHEST-scoring passage wins, not the first —
+    a dense 3-hit cluster late in the document beats the lone early
+    hit despite norm(start) favoring early passages; with room for
+    both, passages come back in document order
+    (FieldHighlighter.java:227 ascending sort)."""
+    from lucene_solr_spark.query.highlight import (
+        doc_highlights, doc_passages,
+    )
+
+    text = ("alpha fox beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda fox fox fox mu nu")
+    _, _, passages = doc_passages(text, ("term", "fox"), max_passages=9)
+    assert len(passages) == 2
+    assert passages[1][2] > passages[0][2], "late tf=3 cluster must win"
+    best = doc_highlights(text, ("term", "fox"), max_passages=1)
+    assert best == ["iota kappa lambda <b>fox</b> <b>fox</b> <b>fox</b> mu nu"]
+    both = doc_highlights(text, ("term", "fox"), max_passages=2,
+                          wrap=False)
+    assert len(both) == 2 and both[0].startswith("alpha"), \
+        "survivors emit in document order"
 
 
 def test_highlight_topk_distributed(spark, index_dir):
@@ -493,6 +520,38 @@ def test_spellcheck_suggest(index_dir):
     assert [t for t, _, _ in ranked] == ["retry", "retr", "rery"]
     sc = {t: s for t, s, _ in ranked}
     assert sc["retry"] == 1.0 - 1 / 5 and sc["retr"] == 1.0 - 1 / 4
+
+
+def test_suggest_prefix(spark, index_dir, oracle):
+    """AnalyzingSuggester completion discipline (weight = docFreq DESC,
+    term ASC, AnalyzingSuggester.java:170-186) over the term
+    dictionary: serving twin == distributed plan == a rank built
+    straight from the oracle's postings; infix mode matches anywhere
+    in the term (AnalyzingInfixSuggester.lookup)."""
+    from lucene_solr_spark.query.suggest import (
+        suggest_prefix_df, suggest_prefix_local,
+    )
+
+    want = sorted(
+        ((t, len(p[0])) for t, p in oracle.postings.items()
+         if t.startswith("s")),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert want, "corpus must have s-terms"
+    got_local = suggest_prefix_local(index_dir, "s", k=10)
+    got_df = [(r["term"], int(r["doc_freq"]))
+              for r in suggest_prefix_df(spark, index_dir, "s", k=10)
+              .collect()]
+    assert got_local == want
+    assert got_df == want
+    # infix: substring match, same order
+    want_in = sorted(
+        ((t, len(p[0])) for t, p in oracle.postings.items() if "or" in t),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got_in = suggest_prefix_local(index_dir, "or", k=10, mode="infix")
+    assert got_in == want_in
+    assert suggest_prefix_local(index_dir, "zzz", k=10) == []
 
 
 def test_sloppy_repeats_traces():
