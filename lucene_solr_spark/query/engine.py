@@ -1325,11 +1325,41 @@ class LocalSearcher:
         leaf_terms = [t for f, t in self._collect_terms(node)
                       if f == "text"]
         terms = sorted(set(leaf_terms))
+        if node[0] == "and":
+            costs = [self._cost_of(c) for c in node[1]]
+            if min(costs) == 0:
+                # a required conjunct matches nothing (absent term):
+                # the intersection is provably empty — never start TA
+                return []
         if not terms or self._mostly_undecoded(terms):
             return None  # cold lists: the block-pruning paths decode less
         mask = self._dense_mask(node)
         if mask is None:
             return None
+        if node[0] == "and":
+            # SELECTIVE conjunction: the result is a subset of the
+            # cheapest conjunct's matches, so an exact dense-gather
+            # over those candidates costs O(min_cost) — while TA
+            # consumes a prefix of EVERY leaf's score-descending list
+            # (up to half their total length) before its bound can
+            # prove anything.  Crossover measured at sf0.1 (r3 bench
+            # regression and3_1/and3_3: 0.4ms candidate vs 1.3-2.0ms
+            # TA; and2_4/mixed_8 where min_cost ~ total stay TA-won).
+            mn = min(costs)
+            lead = node[1][int(np.argmin(costs))]
+            total_docs = sum(self._tp(t).n_docs for t in terms)
+            if lead[0] == "term" and mn * 8 <= total_docs:
+                cand = self._tp(lead[1]).decode_all()[0]
+                cand = cand[mask[cand]]
+                if cand.size == 0:
+                    return []
+                cs = self._dense_scores_at(node, cand)
+                keep = np.ones(cand.size, dtype=bool)
+                if self._deleted.size:
+                    keep &= ~_sorted_isin(cand, self._deleted)
+                if after is not None:
+                    keep &= _cursor_mask(cand, cs, after)
+                return _topk_hits(cand[keep], cs[keep], k)
         # a term appearing in several leaves contributes once per leaf
         # to a doc's score, so the unseen-doc bound must weight each
         # list's cursor by that multiplicity
