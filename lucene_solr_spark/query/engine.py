@@ -158,12 +158,23 @@ class LocalSearcher:
     """
 
     def __init__(self, index_dir: str, pruning: bool = True,
-                 similarity: str = "bm25", mu: float = 2000.0):
+                 similarity: str = "bm25", mu: float = 2000.0,
+                 dense_budget_mb: int | None = None):
         assert similarity in ("bm25", "classic", "lmd")
         self.index_dir = index_dir
         self.pruning = pruning
         self.similarity = similarity
         self.mu = float(mu)
+        # warm-path memory budget -> dense structure bounds (SCALE.md
+        # "Warm-path memory budget"): maxDoc cap at 16 B/doc, and at
+        # most half the budget for the hot-term table cache (5 B/doc
+        # per cached term: float32 table + derived bool mask)
+        if dense_budget_mb is None:
+            dense_budget_mb = int(os.environ.get(
+                "LSS_DENSE_BUDGET_MB", self._DENSE_BUDGET_MB_DEFAULT
+            ))
+        self.dense_budget_bytes = dense_budget_mb << 20
+        self._DENSE_MAX_DOC = max(1, self.dense_budget_bytes // 16)
         #: fast paths (block-max pruning, dense tables, TA, topcand)
         #: assume score > 0 for every present posting — true for
         #: bm25/classic, not for lmd
@@ -1051,11 +1062,18 @@ class LocalSearcher:
             return self._sum_parts(parts)
         raise ValueError(kind)
 
-    #: max_doc bound for the dense per-shard accumulator (64 MB float64 +
-    #: 8 MB flags at the limit); a serving shard's docID space is bounded
-    #: by design, so this is the normal case — beyond it the sparse
-    #: sort-merge path takes over
-    _DENSE_MAX_DOC = 1 << 23
+    #: default warm-path memory budget (MB) — overridable per instance
+    #: (LocalSearcher(dense_budget_mb=...)) or process
+    #: (LSS_DENSE_BUDGET_MB).  _DENSE_MAX_DOC is DERIVED from it in
+    #: __init__ as budget/16 bytes-per-doc (the per-doc residency of
+    #: the dense structures: 8 B transient float64 accumulator + 4 B
+    #: one hot score table + 1 B derived mask + 1 B TA seen bitmap +
+    #: slack — see SCALE.md "Warm-path memory budget"); the default
+    #: 128 MB keeps the historical 2^23-doc shard bound.  Beyond the
+    #: bound the sparse sort-merge path takes over — correctness never
+    #: depends on the budget.
+    _DENSE_BUDGET_MB_DEFAULT = 128
+    _DENSE_MAX_DOC = (128 << 20) // 16  # class fallback == default
 
     #: a term's dense score table is CACHED when df * 64 >= max_doc
     #: (sparser terms get an ephemeral table per query — a cheap
@@ -1072,9 +1090,12 @@ class LocalSearcher:
         is derived, not stored separately on disk."""
         cache = getattr(self, "_dense_tables", None)
         if cache is None:
-            cache = self._dense_tables = {}
+            from collections import OrderedDict
+
+            cache = self._dense_tables = OrderedDict()
         got = cache.get(term)
         if got is not None:
+            cache.move_to_end(term)  # LRU touch
             return got
         memo = getattr(self, "_eval_memo", None)
         key = ("dtbl", term)
@@ -1087,6 +1108,11 @@ class LocalSearcher:
         out = (tbl != np.float32(0.0), tbl)
         if docs.size * self._DENSE_CACHE_FRAC >= n:
             cache[term] = out
+            # half the budget bounds the hot-table cache (5 B/doc per
+            # entry); evict least-recently-used beyond it
+            max_tables = max(1, (self.dense_budget_bytes // 2) // (5 * n))
+            while len(cache) > max_tables:
+                cache.popitem(last=False)
         elif memo is not None:
             memo[key] = out  # ephemeral: reused within this search only
         return out

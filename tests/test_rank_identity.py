@@ -257,3 +257,38 @@ def test_lmd_similarity_distributed_matches_local(spark, index_dir):
         n_nonempty += bool(a)
         assert a == b, q
     assert n_nonempty >= 3
+
+
+def test_dense_budget_knob(index_dir, oracle, query_set):
+    """The warm-path memory budget is a real bound, not a comment: a
+    tiny budget forces _DENSE_MAX_DOC below the corpus (every query
+    falls to the sparse paths, results unchanged), and the hot-table
+    cache evicts LRU beyond its half-budget share."""
+    import numpy as np
+
+    from lucene_solr_spark.query.engine import LocalSearcher
+    from lucene_solr_spark.query.parser import parse_query
+
+    tiny = LocalSearcher(index_dir, dense_budget_mb=1)
+    # budget/16 bytes per doc
+    assert tiny._DENSE_MAX_DOC == (1 << 20) // 16
+    big = LocalSearcher(index_dir)
+    assert big._DENSE_MAX_DOC == (128 << 20) // 16
+    for name, qtext in query_set[:12]:
+        node = parse_query(qtext)
+        want = oracle.search(node, K) if node is not None else []
+        _assert_identical(f"tinybudget:{name}", tiny.search(qtext, K), want)
+    # LRU eviction: cap the cache to ~1 table and touch several hot
+    # terms — the cache must never exceed its derived bound
+    s = LocalSearcher(index_dir)
+    n = s.max_doc + 1
+    s.dense_budget_bytes = 2 * 5 * n  # max_tables == 1
+    hot = sorted(
+        ((t, len(p[0])) for t, p in oracle.postings.items()),
+        key=lambda x: -x[1],
+    )[:4]
+    for t, df in hot:
+        if df * s._DENSE_CACHE_FRAC >= n:
+            s.search(t, 1)  # loads the term's postings
+            s._term_dense(t)
+            assert len(s._dense_tables) <= 1
