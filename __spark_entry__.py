@@ -308,6 +308,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.round("score", 4).alias("score"))
         )
 
+    def lmjm_term_topk(spark, sf):
+        # LMJelinekMercerSimilarity (lambda=0.1,
+        # LMJelinekMercerSimilarity.java:54-59) as a fourth query-time
+        # Similarity: score = ln(1 + ((1-lambda)*tf/dl)/(lambda*pc)),
+        # all-double in gate mode with exact dl; serving mode keeps
+        # every fast path (scores strictly positive) and is locked by
+        # the pytest rank-identity + distributed-parity suite
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64",
+                                 similarity="lmjm")
+        return (
+            ds.search_df("batch", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
     def bm25_term_rare(spark, sf):
         return _topk_engine(spark, sf, "dup")
 
@@ -839,11 +856,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # no fresh row).  Discipline: newest / this-round-changed gates
     # first, then anything the previous round's run skipped, then the
     # rest; the tail (51+) must hold only gates untouched since their
-    # last green check (r4 tail: the ten plain stream_* ops, r3-green,
-    # operators/streams.py unchanged this round).
+    # last green check (r4 tail: the ten plain stream_* ops plus
+    # agg_percentile_distinct — r3-green, operators/streams.py
+    # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
         "lmdirichlet_term_topk": lmdirichlet_term_topk,
+        "lmjm_term_topk": lmjm_term_topk,
         "suggest_prefix_topk": suggest_prefix_topk,
         "highlight_term": highlight_term,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -897,8 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "stream_facet": stream_facet,
         "stream_group_topk": stream_group_topk,
-        "agg_percentile_distinct": agg_percentile_distinct,
         # ---------------- position 51+ below this line ------------
+        "agg_percentile_distinct": agg_percentile_distinct,
         "stream_select_having": stream_select_having,
         "stream_rollup": stream_rollup,
         "stream_stats": stream_stats,
@@ -1289,6 +1308,16 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
          GREATEST(0.0,
            LN(1.0 + tf / (2000.0 * ((ts.ttf + 1.0) / (fs.sttf + 1.0))))
            + LN(2000.0 / (dl + 2000.0))) AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "lmjm_term_topk": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id,
+         LN(1.0 + (0.9 * tf / dl)
+                  / (0.1 * ((ts.ttf + 1.0) / (fs.sttf + 1.0)))) AS score
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10

@@ -57,10 +57,11 @@ class DistributedSearcher:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  dtype: str = "float32", similarity: str = "bm25",
-                 mu: float = 2000.0):
+                 mu: float = 2000.0, lmjm_lambda: float = 0.1):
         assert dtype in ("float32", "float64")
-        assert similarity in ("bm25", "classic", "lmd")
+        assert similarity in ("bm25", "classic", "lmd", "lmjm")
         self.mu = float(mu)
+        self.lmjm_lambda = float(lmjm_lambda)
         self.spark = spark
         self.index_dir = index_dir
         self.dtype = dtype
@@ -193,6 +194,18 @@ class DistributedSearcher:
                       + F.col("tf").cast("double") / (F.lit(mu) * pc))
                 + F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
             )
+        elif self.similarity == "lmjm":
+            # all-double lmjm (LMJelinekMercerSimilarity.java:54-59)
+            lam, sttf = self.lmjm_lambda, self.sum_ttf
+            pc = (F.col("total_term_freq") + F.lit(1.0)) / F.lit(
+                sttf + 1.0
+            )
+            score = F.log(
+                F.lit(1.0)
+                + (F.lit(1.0 - lam) * F.col("tf").cast("double")
+                   / F.col("dl"))
+                / (F.lit(lam) * pc)
+            )
         elif self.similarity == "classic":
             score = (
                 F.sqrt(F.col("tf").cast("double"))
@@ -247,7 +260,8 @@ class DistributedSearcher:
         bc_dfs = self.spark.sparkContext.broadcast(dfs)
         classic = self.similarity == "classic"
         lmd = self.similarity == "lmd"
-        mu = self.mu
+        lmjm = self.similarity == "lmjm"
+        mu, lam = self.mu, self.lmjm_lambda
         sum_ttf = self.sum_ttf
 
         def score_blocks(batches):
@@ -257,7 +271,7 @@ class DistributedSearcher:
                 byte315_to_float(np.arange(256, dtype=np.uint8))
                 if classic else None
             )
-            if lmd:
+            if lmd or lmjm:
                 # SimilarityBase docLen decode == BM25's NORM_TABLE
                 from ..oracle.smallfloat import NORM_TABLE as lmd_dl
             wv_cache: dict[str, np.float32] = {}
@@ -277,7 +291,7 @@ class DistributedSearcher:
                     wv = wv_cache.get(row.term)
                     if wv is None:
                         df_t, ttf_t = bc_dfs.value.get(row.term, (0, 0))
-                        if lmd:
+                        if lmd or lmjm:
                             # float32 pc (DefaultCollectionModel +1F)
                             wv = np.float32(
                                 np.float32(ttf_t + 1.0)
@@ -305,6 +319,13 @@ class DistributedSearcher:
                             + np.log(mu / (dl64 + mu))
                         ).astype(np.float32)
                         sc = np.maximum(s, np.float32(0.0))
+                    elif lmjm:
+                        # LocalSearcher._lmjm_score float discipline
+                        dl64 = lmd_dl[norms].astype(np.float64)
+                        sc = np.log1p(
+                            ((1.0 - lam) * freq.astype(np.float64) / dl64)
+                            / (lam * float(wv))
+                        ).astype(np.float32)
                     elif classic:
                         raw = (np.sqrt(freq, dtype=np.float32) * wv).astype(
                             np.float32
@@ -339,13 +360,41 @@ class DistributedSearcher:
         row = (
             self._term_stats.filter(
                 (F.col("field") == field) & (F.col("term") == value)
-            ).select("doc_freq").collect()
+            ).select("doc_freq", "total_term_freq").collect()
         )
         df_t = int(row[0]["doc_freq"]) if row else 0
+        ttf_t = int(row[0]["total_term_freq"]) if row else 0
         from ..index.builder import read_field_stats
 
-        dc_f = int(read_field_stats(self.index_dir, field)["doc_count"] or 0)
-        if self.similarity == "classic":
+        fs_f = read_field_stats(self.index_dir, field)
+        dc_f = int(fs_f["doc_count"] or 0)
+        if self.similarity in ("lmd", "lmjm"):
+            # norms == null -> docLen = 1F (SimilarityBase.simScorer);
+            # pc over the FIELD's token count, LocalSearcher discipline
+            sttf_f = int(fs_f["sum_total_term_freq"] or 0)
+            mu, lam = self.mu, self.lmjm_lambda
+            if self.dtype == "float32":
+                pc = float(np.float32(
+                    np.float32(ttf_t + 1.0) / np.float32(sttf_f + 1.0)
+                ))
+            else:
+                pc = (ttf_t + 1.0) / (sttf_f + 1.0)
+            if self.dtype == "float32":
+                # engine float discipline: float64 log1p, float32 cast
+                if self.similarity == "lmjm":
+                    sc = float(np.float32(
+                        np.log1p(((1.0 - lam) * 1.0) / (lam * pc))
+                    ))
+                else:
+                    sc = float(max(np.float32(
+                        np.log1p(1.0 / (mu * pc)) + np.log(mu / (1.0 + mu))
+                    ), np.float32(0.0)))
+            elif self.similarity == "lmjm":
+                sc = math.log(1.0 + ((1.0 - lam) * 1.0) / (lam * pc))
+            else:
+                sc = max(0.0, math.log(1.0 + 1.0 / (mu * pc))
+                         + math.log(mu / (1.0 + mu)))
+        elif self.similarity == "classic":
             # norms == null -> raw = tf(1) * idf (TFIDFSimScorer)
             if self.dtype == "float32":
                 sc = float(np.float32(
@@ -444,7 +493,7 @@ class DistributedSearcher:
           the all-double ANSI-SQL twin."""
         dc = self.doc_count
         classic = self.similarity == "classic"
-        if self.similarity == "lmd":
+        if self.similarity in ("lmd", "lmjm"):
             ttfs = [dfs.get(t, (0, 0))[1] for t in terms]
             if self.dtype == "float32":
                 lmd_w = np.array(
@@ -525,9 +574,9 @@ class DistributedSearcher:
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
         dtype = self.dtype
         st = self._st
-        classic = self.similarity == "classic"
+        sim = self.similarity
         wv, cache, idf_sum_d, lmd_w = self._freq_weights(dfs, terms)
-        mu = self.mu
+        mu, lam = self.mu, self.lmjm_lambda
 
         from .sloppy import repeat_groups
 
@@ -556,8 +605,8 @@ class DistributedSearcher:
                         freqs[r] = sloppy_freq(arrs, rels, slop, groups)
                 keep = freqs > 0
                 sc = _score_freq_batch(
-                    freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
-                    k1d, bd, avgdl_d, lmd_w, mu,
+                    freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
+                    k1d, bd, avgdl_d, lmd_w, mu, lam,
                 )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
@@ -641,9 +690,9 @@ class DistributedSearcher:
         }
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
         dtype, st = self.dtype, self._st
-        classic = self.similarity == "classic"
+        sim = self.similarity
         wv, cache, idf_sum_d, lmd_w = self._freq_weights(dfs, sterms)
-        mu = self.mu
+        mu, lam = self.mu, self.lmjm_lambda
 
         def score_spans(batches):
             from .spans_batch import (
@@ -675,8 +724,8 @@ class DistributedSearcher:
                 )
                 keep = freqs > 0
                 sc = _score_freq_batch(
-                    freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
-                    k1d, bd, avgdl_d, lmd_w, mu,
+                    freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
+                    k1d, bd, avgdl_d, lmd_w, mu, lam,
                 )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
@@ -1030,17 +1079,19 @@ class DistributedSearcher:
         )
 
 
-def _score_freq_batch(freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
-                      k1d, bd, avgdl_d, lmd_w=None, mu=2000.0):
+def _score_freq_batch(freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
+                      k1d, bd, avgdl_d, lmd_w=None, mu=2000.0, lam=0.1):
     """Shared phrase/span freq->score kernel per similarity and mode:
     float32 serving (quantized norm byte) or float64 gate (exact dl).
-    `lmd_w` carries the per-clause collection probabilities for "lmd"
-    (LMDirichletSimilarity.score summed per MultiSimScorer at the
-    shared phrase/span freq); the serving path decodes docLen from the
+    `lmd_w` carries the per-clause collection probabilities for the LM
+    family (per-clause scores summed per MultiSimScorer at the shared
+    phrase/span freq); the serving path decodes docLen from the
     SimilarityBase norm byte (1/(f*f)) and keeps LocalSearcher's
     per-term-float32 sum discipline, the gate path is all-double with
     exact dl so an ANSI-SQL twin is bit-stable."""
+    classic = sim == "classic"
     if lmd_w is not None:
+        lmjm = sim == "lmjm"
         if dtype == "float32":
             # SimilarityBase docLen decode == BM25's NORM_TABLE
             dl = NORM_TABLE[pdf["norm"].to_numpy().astype(np.uint8)].astype(
@@ -1050,6 +1101,12 @@ def _score_freq_batch(freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
             dnorm = np.log(mu / (dl + mu))
             total = np.zeros(fq.size, dtype=np.float32)
             for pc in lmd_w:
+                if lmjm:
+                    s = np.log1p(
+                        ((1.0 - lam) * fq / dl) / (lam * float(pc))
+                    ).astype(np.float32)
+                    total = (total + s).astype(np.float32)
+                    continue
                 s = (np.log1p(fq / (mu * float(pc))) + dnorm).astype(
                     np.float32
                 )
@@ -1062,9 +1119,14 @@ def _score_freq_batch(freqs, pdf, classic, dtype, wv, cache, idf_sum_d,
         dnorm = np.log(mu / (dl + mu))
         total_d = np.zeros(fq.size, dtype=np.float64)
         for pc in lmd_w:
-            total_d += np.maximum(
-                np.log(1.0 + fq / (mu * float(pc))) + dnorm, 0.0
-            )
+            if lmjm:
+                total_d += np.log(
+                    1.0 + ((1.0 - lam) * fq / dl) / (lam * float(pc))
+                )
+            else:
+                total_d += np.maximum(
+                    np.log(1.0 + fq / (mu * float(pc))) + dnorm, 0.0
+                )
         return total_d
     if dtype == "float32":
         if classic:

@@ -159,12 +159,14 @@ class LocalSearcher:
 
     def __init__(self, index_dir: str, pruning: bool = True,
                  similarity: str = "bm25", mu: float = 2000.0,
+                 lmjm_lambda: float = 0.1,
                  dense_budget_mb: int | None = None):
-        assert similarity in ("bm25", "classic", "lmd")
+        assert similarity in ("bm25", "classic", "lmd", "lmjm")
         self.index_dir = index_dir
         self.pruning = pruning
         self.similarity = similarity
         self.mu = float(mu)
+        self.lmjm_lambda = float(lmjm_lambda)
         # warm-path memory budget -> dense structure bounds (SCALE.md
         # "Warm-path memory budget"): maxDoc cap at 16 B/doc, and at
         # most half the budget for the hot-term table cache (5 B/doc
@@ -269,17 +271,19 @@ class LocalSearcher:
         return np.float32(idf_sum * (self.k1 + np.float32(1.0)))
 
     def _term_wv(self, tp: "_TermPostings"):
-        """Per-leaf weight for the scoring kernel: lmd needs the term's
-        collection probability, bm25/classic the idf-derived wv."""
-        if self.similarity == "lmd":
+        """Per-leaf weight for the scoring kernel: the LM family
+        (lmd/lmjm) needs the term's collection probability,
+        bm25/classic the idf-derived wv."""
+        if self.similarity in ("lmd", "lmjm"):
             return self._lmd_pc(tp.ttf)
         return self._weight_value(tp.n_docs)
 
     def _multi_wv(self, tps: list["_TermPostings"]):
-        """Weight of a multi-term (phrase/span) node: lmd carries the
-        per-clause pc array (duplicates included, like the termStats[]
-        handed to Similarity.computeWeight); bm25/classic the idf sum."""
-        if self.similarity == "lmd":
+        """Weight of a multi-term (phrase/span) node: the LM family
+        carries the per-clause pc array (duplicates included, like the
+        termStats[] handed to Similarity.computeWeight); bm25/classic
+        the idf sum."""
+        if self.similarity in ("lmd", "lmjm"):
             return np.array([self._lmd_pc(tp.ttf) for tp in tps],
                             dtype=np.float64)
         idf_sum = np.float32(0.0)
@@ -325,6 +329,24 @@ class LocalSearcher:
             ).astype(np.float32)
         return total
 
+    def _lmjm_score(self, freq: np.ndarray, dl: np.ndarray,
+                    pcs) -> np.ndarray:
+        """LMJelinekMercerSimilarity.score
+        (LMJelinekMercerSimilarity.java:54-59): per term pc,
+        (float) ln(1 + ((1-lambda)*freq/docLen) / (lambda*pc)) —
+        strictly positive for any present posting, so every fast path
+        (block pruning, dense tables, TA, topcand) stays on; multi-term
+        trees sum the per-term float32 scores (MultiSimScorer)."""
+        lam = self.lmjm_lambda
+        pcs = np.atleast_1d(np.asarray(pcs, dtype=np.float64))
+        total = np.zeros(freq.size, dtype=np.float32)
+        for pc in pcs:
+            s = np.log1p(
+                ((1.0 - lam) * freq / dl) / (lam * float(pc))
+            ).astype(np.float32)
+            total = (total + s).astype(np.float32)
+        return total
+
     @property
     def _classic_norms(self) -> np.ndarray:
         """TFIDFSimilarity NORM_TABLE: byte315ToFloat per byte."""
@@ -345,6 +367,11 @@ class LocalSearcher:
         term, array for multi-term phrase/span weights)."""
         if self.similarity == "lmd":
             return self._lmd_score(
+                freq.astype(np.float64),
+                self._lmd_dl[norms].astype(np.float64), wv,
+            )
+        if self.similarity == "lmjm":
+            return self._lmjm_score(
                 freq.astype(np.float64),
                 self._lmd_dl[norms].astype(np.float64), wv,
             )
@@ -649,7 +676,7 @@ class LocalSearcher:
         dc_f = int(self.fstats.get(field, {}).get("doc_count", 0))
         df = tp.n_docs
         freq = tfs.astype(np.float32)
-        if self.similarity == "lmd":
+        if self.similarity in ("lmd", "lmjm"):
             # norms == null -> docLen = 1F (SimilarityBase.simScorer);
             # pc over the FIELD's token count (per-field stats)
             sttf_f = int(
@@ -659,6 +686,13 @@ class LocalSearcher:
             pc = np.float32(
                 np.float32(tp.ttf + 1.0) / np.float32(sttf_f + 1.0)
             )
+            if self.similarity == "lmjm":
+                lam = self.lmjm_lambda
+                s = np.log1p(
+                    ((1.0 - lam) * freq.astype(np.float64))
+                    / (lam * float(pc))
+                ).astype(np.float32)
+                return docs, s
             s = (
                 np.log1p(freq.astype(np.float64) / (self.mu * float(pc)))
                 + np.log(self.mu / (1.0 + self.mu))
@@ -1466,6 +1500,14 @@ class LocalSearcher:
             with np.errstate(divide="ignore"):
                 ub = np.sqrt(mt) * wv / np.sqrt(mn)
             return ub * (1.0 + 1e-6)
+        if self.similarity == "lmjm":
+            # score rises with tf and falls with docLen (min_ntab IS
+            # the block's min decoded docLen — same 1/f^2 table); wv
+            # carries the term's pc
+            lam = self.lmjm_lambda
+            with np.errstate(divide="ignore"):
+                ub = np.log1p(((1.0 - lam) * mt / mn) / (lam * float(wv)))
+            return ub * (1.0 + 1e-6)
         c = float(self.k1) * (
             (1.0 - float(self.b)) + float(self.b) * mn / float(self.avgdl)
         )
@@ -1496,7 +1538,7 @@ class LocalSearcher:
         (the single-scorer analogue of BlockMaxWAND; cf. Lucene 8's
         block-max TopScoreDocCollector early exit)."""
         tp = self._tp(term)
-        wv = self._weight_value(tp.n_docs)
+        wv = self._term_wv(tp)
         ubs = self._block_ubs(tp, float(wv))
         order = np.argsort(-ubs, kind="stable")
         kept_d: list[np.ndarray] = []
@@ -1516,7 +1558,7 @@ class LocalSearcher:
         """Block-max pruned evaluation of a flat OR of terms."""
         tps = [self._tp(t) for t in terms]
         wvs = np.array(
-            [self._weight_value(tp.n_docs) for tp in tps], dtype=np.float64
+            [self._term_wv(tp) for tp in tps], dtype=np.float64
         )
         gmax = np.array(
             [

@@ -292,3 +292,81 @@ def test_dense_budget_knob(index_dir, oracle, query_set):
             s.search(t, 1)  # loads the term's postings
             s._term_dense(t)
             assert len(s._dense_tables) <= 1
+
+
+def test_lmjm_similarity_rank_identity(index_dir, oracle):
+    """LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.java:54-59)
+    as a fourth query-time Similarity: engine scores (pruning on AND
+    off — lmjm scores are strictly positive so every fast path stays
+    enabled) equal an independent float32 twin from the oracle's
+    postings: score = float32(ln(1 + ((1-lambda)*tf/docLen) /
+    (lambda*pc))), pc = float32((ttf+1)/(sumTtf+1)), docLen from the
+    SimilarityBase norm byte."""
+    import numpy as np
+
+    from lucene_solr_spark.oracle.smallfloat import NORM_TABLE
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    s = LocalSearcher(index_dir, similarity="lmjm")
+    s_np = LocalSearcher(index_dir, pruning=False, similarity="lmjm")
+    lam = 0.1
+    sum_ttf = sum(int(p[1].sum()) for p in oracle.postings.values())
+
+    def lmjm_term(term):
+        docs, tfs = oracle.postings[term]
+        pc = np.float32(
+            np.float32(int(tfs.sum()) + 1.0) / np.float32(sum_ttf + 1.0)
+        )
+        dl = NORM_TABLE[oracle.norm_bytes[docs]].astype(np.float64)
+        return docs, np.log1p(
+            ((1.0 - lam) * tfs.astype(np.float64) / dl) / (lam * float(pc))
+        ).astype(np.float32)
+
+    def topk(docs, scores, k=10):
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+    for t in ("retry", "deploy", "cache", "pipeline"):
+        want = topk(*lmjm_term(t))
+        assert [(d, np.float32(x)) for d, x in s.search(t, 10)] == want, t
+        assert [(d, np.float32(x)) for d, x in s_np.search(t, 10)] == want, t
+    da, sa = lmjm_term("retry")
+    db, sb = lmjm_term("deploy")
+    inter = np.intersect1d(da, db, assume_unique=True)
+    ia = np.searchsorted(da, inter)
+    ib = np.searchsorted(db, inter)
+    summed = (sa[ia].astype(np.float64) + sb[ib].astype(np.float64)).astype(
+        np.float32
+    )
+    for searcher in (s, s_np):
+        assert [(d, np.float32(x))
+                for d, x in searcher.search("retry AND deploy", 10)
+                ] == topk(inter, summed)
+    # pruning == exhaustive across a query sample (fast paths stay on)
+    for q in ("retry OR cache", "retry AND deploy AND cache",
+              "(retry deploy cache)@2", "deploy"):
+        a = [(d, np.float32(x)) for d, x in s.search(q, 10)]
+        b = [(d, np.float32(x)) for d, x in s_np.search(q, 10)]
+        assert a == b, q
+
+
+def test_lmjm_similarity_distributed_matches_local(spark, index_dir):
+    """LMJM float32 serving mode: DistributedSearcher == LocalSearcher
+    across term/boolean/phrase/span/keyword-field shapes."""
+    import numpy as np
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    ls = LocalSearcher(index_dir, similarity="lmjm")
+    ds = DistributedSearcher(spark, index_dir, similarity="lmjm")
+    near = ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3,
+            True)
+    n_nonempty = 0
+    for q in ["retry", "retry AND deploy", "retry OR cache",
+              '"retry deploy"~2', near, "retry AND role:assistant"]:
+        a = [(d, np.float32(s)) for d, s in ls.search(q, 10)]
+        b = [(d, np.float32(s)) for d, s in ds.search(q, 10)]
+        n_nonempty += bool(a)
+        assert a == b, q
+    assert n_nonempty >= 4
