@@ -197,6 +197,23 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
 """
 
 
+def _simbase_term_sql(sim: str, term: str) -> str:
+    """Single-term gate twin for the SimilarityBase family — the score
+    expression comes from similarities.oracle_sql_score so the DuckDB
+    operation order is the same module that defines the Spark gate
+    column (similarities.gate_sql_col)."""
+    from lucene_solr_spark.query.similarities import oracle_sql_score
+
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id, {oracle_sql_score(sim)} AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = '{term}'
+) ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------ phrase (positions)
 
 _PHRASE = ("table", "hash")  # frequent adjacent bigram in the documents corpus
@@ -322,6 +339,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  similarity="lmjm")
         return (
             ds.search_df("batch", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def _simbase_topk(spark, sf, sim):
+        # SimilarityBase family as query-time Similarities over the
+        # SAME index (similarities.py): all-double gate mode with
+        # exact dl; the float32 norm-byte serving path is locked by
+        # the pytest rank-identity + distributed-parity suite
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64",
+                                 similarity=sim)
+        return (
+            ds.search_df("batch", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def dfr_term_topk(spark, sf):
+        # DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2) —
+        # "I(n)L2" (DFRSimilarity.java:110-114): score =
+        # tfn*log2((N+1)/(df+0.5))/(tfn+1), tfn = tf*log2(1+avgdl/dl)
+        return _simbase_topk(spark, sf, "dfr")
+
+    def ib_term_topk(spark, sf):
+        # IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) —
+        # "IB LL-D2" (IBSimilarity.java:98-104): score =
+        # -ln(lam/(tfn+lam)), lam = (df+1)/(N+1)
+        return _simbase_topk(spark, sf, "ib")
+
+    def dfi_term_topk(spark, sf):
+        # DFISimilarity(IndependenceChiSquared)
+        # (DFISimilarity.java:53-64): expected = (ttf+1)*dl/(sttf+1);
+        # 0 when tf <= expected else log2((tf-exp)^2/exp + 1)
+        return _simbase_topk(spark, sf, "dfi")
+
+    def axiomatic_term_topk(spark, sf):
+        # AxiomaticF2EXP(s=0.25, k=0.35) (AxiomaticF2EXP.java:58-88):
+        # score = tf/(tf+s+s*dl/avgdl) * ((N+1)/df)^k
+        return _simbase_topk(spark, sf, "ax")
+
+    def boolean_sim_topk(spark, sf):
+        # BooleanSimilarity (BooleanSimilarity.java:69-72): score =
+        # boost per matching clause, stats-independent; 2-clause OR so
+        # the ranking is the match count then docID
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64",
+                                 similarity="bool")
+        return (
+            ds.search_df("batch OR query", 10)
             .select("doc_id", F.round("score", 4).alias("score"))
         )
 
@@ -861,6 +930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "dfr_term_topk": dfr_term_topk,
+        "ib_term_topk": ib_term_topk,
+        "dfi_term_topk": dfi_term_topk,
+        "axiomatic_term_topk": axiomatic_term_topk,
+        "boolean_sim_topk": boolean_sim_topk,
         "lmdirichlet_term_topk": lmdirichlet_term_topk,
         "lmjm_term_topk": lmjm_term_topk,
         "suggest_prefix_topk": suggest_prefix_topk,
@@ -1320,6 +1394,18 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
                   / (0.1 * ((ts.ttf + 1.0) / (fs.sttf + 1.0)))) AS score
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "dfr_term_topk": _simbase_term_sql("dfr", "batch"),
+        "ib_term_topk": _simbase_term_sql("ib", "batch"),
+        "dfi_term_topk": _simbase_term_sql("dfi", "batch"),
+        "axiomatic_term_topk": _simbase_term_sql("ax", "batch"),
+        "boolean_sim_topk": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id, SUM(1.0) AS score
+  FROM tf WHERE tf.term IN ('batch', 'query')
+  GROUP BY tf.doc_id
 ) ORDER BY score DESC, doc_id LIMIT 10
 """,
         "bm25_term_rare": _bm25_term_sql("dup"),

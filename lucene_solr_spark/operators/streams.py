@@ -136,6 +136,40 @@ def facet(df: DataFrame, by: Sequence[str], metrics: dict[str, Sequence[str]],
     return df.groupBy(*by).agg(*_metric_cols(metrics)).orderBy(*sort).limit(limit)
 
 
+def facet_range(df: DataFrame, col: str, start: float, end: float,
+                gap: float, metrics: dict[str, Sequence[str]] | None = None
+                ) -> DataFrame:
+    """Range facet (solr/core/.../request/SimpleFacets.getFacetRangeCounts
+    + search/facet/FacetRange.java): fixed-width buckets
+    [start + i*gap, start + (i+1)*gap) over a numeric column, one row
+    per NON-EMPTY bucket with its inclusive-lower/exclusive-upper count
+    (Solr's default include=lower) plus optional metrics; rows outside
+    [start, end) fall out of the facet (no other=before/after buckets —
+    callers wanting them add two filters).
+
+    Spark-first: the bucket id is a single arithmetic projection
+    (floor((v - start)/gap)) so the whole facet is one partial/final
+    hash aggregate — one shuffle of at most ceil((end-start)/gap)
+    rows per partition, independent of data size; the [start, end)
+    predicate pushes into the scan."""
+    v = F.col(col)
+    idx = F.floor((v - F.lit(float(start))) / F.lit(float(gap)))
+    out = (
+        df.filter((v >= float(start)) & (v < float(end)))
+        .withColumn("_bidx", idx)
+        .groupBy("_bidx")
+        .agg(*_metric_cols(metrics or {"count": []}))
+        .withColumn(
+            "bucket_start",
+            (F.lit(float(start))
+             + F.col("_bidx").cast("double") * F.lit(float(gap))),
+        )
+        .drop("_bidx")
+    )
+    cols = ["bucket_start"] + [c for c in out.columns if c != "bucket_start"]
+    return out.select(*cols).orderBy("bucket_start")
+
+
 def subfacet(df: DataFrame, by: str, sub: str,
              metrics: dict[str, Sequence[str]], limit: int, sub_limit: int,
              sort: Sequence | None = None,

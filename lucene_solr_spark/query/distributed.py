@@ -53,13 +53,18 @@ class DistributedSearcher:
     float discipline (float32 pc, norm-byte-decoded docLen — rank-
     identical to LocalSearcher); in float64 gate mode the whole formula
     is double with exact dl and pc = (ttf+1)/(sttf+1), bit-stable
-    against an ANSI-SQL twin (same deviation discipline as bm25)."""
+    against an ANSI-SQL twin (same deviation discipline as bm25).
+    "lmjm" and the round-4 SimilarityBase family ("dfr", "ib", "dfi",
+    "ax", "bool" — see query/similarities.py for formulas and
+    citations) follow the same two-mode discipline."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  dtype: str = "float32", similarity: str = "bm25",
                  mu: float = 2000.0, lmjm_lambda: float = 0.1):
+        from .similarities import SIMBASE
+
         assert dtype in ("float32", "float64")
-        assert similarity in ("bm25", "classic", "lmd", "lmjm")
+        assert similarity in ("bm25", "classic", "lmd", "lmjm") + SIMBASE
         self.mu = float(mu)
         self.lmjm_lambda = float(lmjm_lambda)
         self.spark = spark
@@ -213,6 +218,13 @@ class DistributedSearcher:
                    + F.lit(1.0))
                 / F.sqrt(F.col("dl").cast("double"))
             )
+        elif self.similarity in ("dfr", "ib", "dfi", "ax", "bool"):
+            # SimilarityBase family (similarities.py): all-double gate
+            # formula with exact dl, same operation order as the
+            # DuckDB twins
+            from .similarities import gate_sql_col
+
+            score = gate_sql_col(self.similarity, dc, self.sum_ttf)
         else:
             score = (
                 F.log(F.lit(1.0) + (F.lit(dc) - F.col("doc_freq") + 0.5)
@@ -261,6 +273,10 @@ class DistributedSearcher:
         classic = self.similarity == "classic"
         lmd = self.similarity == "lmd"
         lmjm = self.similarity == "lmjm"
+        from .similarities import SIMBASE
+
+        simbase = self.similarity in SIMBASE
+        sim = self.similarity
         mu, lam = self.mu, self.lmjm_lambda
         sum_ttf = self.sum_ttf
 
@@ -291,7 +307,10 @@ class DistributedSearcher:
                     wv = wv_cache.get(row.term)
                     if wv is None:
                         df_t, ttf_t = bc_dfs.value.get(row.term, (0, 0))
-                        if lmd or lmjm:
+                        if simbase:
+                            # SimilarityBase weight IS the stats pair
+                            wv = (df_t, ttf_t)
+                        elif lmd or lmjm:
                             # float32 pc (DefaultCollectionModel +1F)
                             wv = np.float32(
                                 np.float32(ttf_t + 1.0)
@@ -310,7 +329,16 @@ class DistributedSearcher:
                             wv = np.float32(idf * (k1 + np.float32(1.0)))
                         wv_cache[row.term] = wv
                     freq = tfs.astype(np.float32)
-                    if lmd:
+                    if simbase:
+                        # LocalSearcher float discipline via the shared
+                        # kernel (similarities.serving_scores)
+                        from .similarities import serving_scores
+
+                        sc = serving_scores(
+                            sim, freq, norms, [wv], doc_count, sum_ttf,
+                            avgdl,
+                        )
+                    elif lmd:
                         # LocalSearcher._lmd_score float discipline
                         dl64 = lmd_dl[norms].astype(np.float64)
                         s = (
@@ -394,6 +422,33 @@ class DistributedSearcher:
             else:
                 sc = max(0.0, math.log(1.0 + 1.0 / (mu * pc))
                          + math.log(mu / (1.0 + mu)))
+        elif self.similarity in ("dfr", "ib", "dfi", "ax", "bool"):
+            # SimilarityBase family: norms == null -> docLen = 1F and
+            # tf = 1 (StringField), so the score is a per-query
+            # constant; per-FIELD stats with the fillBasicStats
+            # sttf<=0 fallback (tokens=docFreq, avgdl=1)
+            from .similarities import gate_scores, serving_scores
+
+            sttf_f = int(fs_f["sum_total_term_freq"] or 0)
+            one = np.ones(1, dtype=np.float32)
+            if sttf_f > 0 and dc_f > 0:
+                tokens_f = sttf_f
+                avgdl_f = np.float32(sttf_f / float(dc_f))
+            else:
+                tokens_f, avgdl_f = max(df_t, 1), np.float32(1.0)
+            dc_f = max(dc_f, 1)  # empty field: no postings anyway
+            if self.dtype == "float32":
+                sc = float(serving_scores(
+                    self.similarity, one, None, [(df_t, ttf_t)], dc_f,
+                    tokens_f, avgdl_f, dl=one,
+                )[0])
+            else:
+                # gate_scores' avgdl = tokens/docs in double; emulate
+                # the sttf<=0 fallback by passing tokens_f as sum_ttf
+                sc = float(gate_scores(
+                    self.similarity, np.ones(1), np.ones(1),
+                    [(df_t, ttf_t)], dc_f, tokens_f,
+                )[0])
         elif self.similarity == "classic":
             # norms == null -> raw = tf(1) * idf (TFIDFSimScorer)
             if self.dtype == "float32":
@@ -493,6 +548,14 @@ class DistributedSearcher:
           the all-double ANSI-SQL twin."""
         dc = self.doc_count
         classic = self.similarity == "classic"
+        from .similarities import SIMBASE
+
+        if self.similarity in SIMBASE:
+            # SimilarityBase family: the per-clause (df, ttf) stats
+            # pairs ARE the weight (both modes); the shared kernel
+            # dispatches on sim
+            sb_w = [dfs.get(t, (0, 0)) for t in terms]
+            return None, None, None, sb_w
         if self.similarity in ("lmd", "lmjm"):
             ttfs = [dfs.get(t, (0, 0))[1] for t in terms]
             if self.dtype == "float32":
@@ -572,6 +635,7 @@ class DistributedSearcher:
         rels = [rel for _, rel in clauses]
         n_cl = len(clauses)
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
+        sttf = self.sum_ttf
         dtype = self.dtype
         st = self._st
         sim = self.similarity
@@ -606,7 +670,7 @@ class DistributedSearcher:
                 keep = freqs > 0
                 sc = _score_freq_batch(
                     freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
-                    k1d, bd, avgdl_d, lmd_w, mu, lam,
+                    k1d, bd, avgdl_d, lmd_w, mu, lam, dc, sttf,
                 )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
@@ -689,6 +753,7 @@ class DistributedSearcher:
             .collect()
         }
         dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
+        sttf = self.sum_ttf
         dtype, st = self.dtype, self._st
         sim = self.similarity
         wv, cache, idf_sum_d, lmd_w = self._freq_weights(dfs, sterms)
@@ -725,7 +790,7 @@ class DistributedSearcher:
                 keep = freqs > 0
                 sc = _score_freq_batch(
                     freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
-                    k1d, bd, avgdl_d, lmd_w, mu, lam,
+                    k1d, bd, avgdl_d, lmd_w, mu, lam, dc, sttf,
                 )
                 out = pd.DataFrame(
                     {"doc_id": pdf["doc_id"].to_numpy()[keep],
@@ -1080,7 +1145,8 @@ class DistributedSearcher:
 
 
 def _score_freq_batch(freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
-                      k1d, bd, avgdl_d, lmd_w=None, mu=2000.0, lam=0.1):
+                      k1d, bd, avgdl_d, lmd_w=None, mu=2000.0, lam=0.1,
+                      dc=0, sttf=0):
     """Shared phrase/span freq->score kernel per similarity and mode:
     float32 serving (quantized norm byte) or float64 gate (exact dl).
     `lmd_w` carries the per-clause collection probabilities for the LM
@@ -1090,6 +1156,24 @@ def _score_freq_batch(freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
     per-term-float32 sum discipline, the gate path is all-double with
     exact dl so an ANSI-SQL twin is bit-stable."""
     classic = sim == "classic"
+    from .similarities import SIMBASE, gate_scores, serving_scores
+
+    if sim in SIMBASE:
+        # lmd_w slot carries the per-clause (df, ttf) pairs
+        if dtype == "float32":
+            norms = pdf["norm"].to_numpy().astype(np.uint8)
+            avgdl_f = (
+                np.float32(sttf / float(dc))
+                if sttf > 0 and dc > 0 else np.float32(1.0)
+            )
+            return serving_scores(
+                sim, freqs.astype(np.float32), norms, lmd_w, dc, sttf,
+                avgdl_f,
+            )
+        return gate_scores(
+            sim, freqs, pdf["dl"].to_numpy().astype(np.float64), lmd_w,
+            dc, sttf,
+        )
     if lmd_w is not None:
         lmjm = sim == "lmjm"
         if dtype == "float32":

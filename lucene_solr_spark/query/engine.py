@@ -154,14 +154,23 @@ class LocalSearcher:
       (MultiSimilarity.MultiSimScorer).  LMD scores can be exactly 0
       for a matching doc, so the score-nonzero-derived dense/pruned
       fast paths are bypassed (the exhaustive evaluator is always
-      used) — correct, not the perf headline.
+      used) — correct, not the perf headline;
+    - "lmjm": LMJelinekMercerSimilarity (lambda mixing,
+      LMJelinekMercerSimilarity.java:54-59);
+    - "dfr" / "ib" / "dfi" / "ax" / "bool": the SimilarityBase family
+      round 4 added — DFR I(n)L2, IB LL-D2, DFI(ChiSquared),
+      AxiomaticF2EXP, BooleanSimilarity; formulas, float discipline,
+      and reference citations in query/similarities.py.  Like lmd they
+      run the exhaustive evaluator (see _fastpaths).
     """
 
     def __init__(self, index_dir: str, pruning: bool = True,
                  similarity: str = "bm25", mu: float = 2000.0,
                  lmjm_lambda: float = 0.1,
                  dense_budget_mb: int | None = None):
-        assert similarity in ("bm25", "classic", "lmd", "lmjm")
+        from .similarities import SIMBASE
+
+        assert similarity in ("bm25", "classic", "lmd", "lmjm") + SIMBASE
         self.index_dir = index_dir
         self.pruning = pruning
         self.similarity = similarity
@@ -178,9 +187,14 @@ class LocalSearcher:
         self.dense_budget_bytes = dense_budget_mb << 20
         self._DENSE_MAX_DOC = max(1, self.dense_budget_bytes // 16)
         #: fast paths (block-max pruning, dense tables, TA, topcand)
-        #: assume score > 0 for every present posting — true for
-        #: bm25/classic, not for lmd
-        self._fastpaths = similarity != "lmd"
+        #: assume score > 0 for every present posting AND a scalar
+        #: per-term weight with a block upper-bound formula — true for
+        #: bm25/classic/lmjm; lmd and dfi can score a present posting
+        #: exactly 0, and the SimilarityBase family (dfr/ib/dfi/ax/
+        #: bool, similarities.py) carries tuple weights, so all of
+        #: those take the exhaustive evaluator (correct, not the
+        #: serving-latency headline)
+        self._fastpaths = similarity in ("bm25", "classic", "lmjm")
         with open(os.path.join(index_dir, "_manifest.json")) as f:
             m = json.load(f)
         self.params = m["params"]
@@ -272,10 +286,15 @@ class LocalSearcher:
 
     def _term_wv(self, tp: "_TermPostings"):
         """Per-leaf weight for the scoring kernel: the LM family
-        (lmd/lmjm) needs the term's collection probability,
-        bm25/classic the idf-derived wv."""
+        (lmd/lmjm) needs the term's collection probability, the
+        SimilarityBase family (dfr/ib/dfi/ax/bool) its (df, ttf) stats
+        pair, bm25/classic the idf-derived wv."""
         if self.similarity in ("lmd", "lmjm"):
             return self._lmd_pc(tp.ttf)
+        from .similarities import SIMBASE
+
+        if self.similarity in SIMBASE:
+            return [(tp.n_docs, tp.ttf)]
         return self._weight_value(tp.n_docs)
 
     def _multi_wv(self, tps: list["_TermPostings"]):
@@ -286,6 +305,10 @@ class LocalSearcher:
         if self.similarity in ("lmd", "lmjm"):
             return np.array([self._lmd_pc(tp.ttf) for tp in tps],
                             dtype=np.float64)
+        from .similarities import SIMBASE
+
+        if self.similarity in SIMBASE:
+            return [(tp.n_docs, tp.ttf) for tp in tps]
         idf_sum = np.float32(0.0)
         for tp in tps:
             idf_sum = np.float32(idf_sum + self._idf(tp.n_docs))
@@ -365,6 +388,12 @@ class LocalSearcher:
         term/phrase/span scoring kernel, per similarity.  For "lmd",
         `wv` carries the per-term collection probability (scalar for a
         term, array for multi-term phrase/span weights)."""
+        from .similarities import SIMBASE, serving_scores
+
+        if self.similarity in SIMBASE:
+            # wv is the per-clause (df, ttf) list from _term_wv/_multi_wv
+            return serving_scores(self.similarity, freq, norms, wv,
+                                  self.doc_count, self.sum_ttf, self.avgdl)
         if self.similarity == "lmd":
             return self._lmd_score(
                 freq.astype(np.float64),
@@ -676,6 +705,26 @@ class LocalSearcher:
         dc_f = int(self.fstats.get(field, {}).get("doc_count", 0))
         df = tp.n_docs
         freq = tfs.astype(np.float32)
+        from .similarities import SIMBASE, serving_scores
+
+        if self.similarity in SIMBASE:
+            # norms == null -> docLen = 1F (SimilarityBase.simScorer);
+            # stats over the FIELD (FieldInfos discipline); per
+            # fillBasicStats (SimilarityBase.java:100-140): tokens =
+            # sumTotalTermFreq, avgdl = (float) tokens / docs — or
+            # tokens = docFreq, avgdl = 1 when sttf <= 0
+            sttf_f = int(
+                self.fstats.get(field, {}).get("sum_total_term_freq", 0)
+                or 0
+            )
+            if sttf_f > 0 and dc_f > 0:
+                tokens_f, avgdl_f = sttf_f, np.float32(sttf_f / float(dc_f))
+            else:
+                tokens_f, avgdl_f = df, np.float32(1.0)
+            return docs, serving_scores(
+                self.similarity, freq, None, [(df, tp.ttf)], dc_f,
+                tokens_f, avgdl_f, dl=np.ones(freq.size, dtype=np.float32),
+            )
         if self.similarity in ("lmd", "lmjm"):
             # norms == null -> docLen = 1F (SimilarityBase.simScorer);
             # pc over the FIELD's token count (per-field stats)
@@ -1639,8 +1688,16 @@ class LocalSearcher:
             tp = self._tp(node[1])
             df = tp.n_docs
             idf = float(self._idf(df))
-            sim = ("ClassicSimilarity" if self.similarity == "classic"
-                   else "BM25Similarity")
+            sim = {
+                "classic": "ClassicSimilarity",
+                "lmd": "LMDirichletSimilarity",
+                "lmjm": "LMJelinekMercerSimilarity",
+                "dfr": "DFRSimilarity(I(n)L2)",
+                "ib": "IBSimilarity(LL-D2)",
+                "dfi": "DFISimilarity(ChiSquared)",
+                "ax": "AxiomaticF2EXP",
+                "bool": "BooleanSimilarity",
+            }.get(self.similarity, "BM25Similarity")
             out["description"] = f"weight(text:{node[1]}) [{sim}]"
             detail = {"docFreq": df, "docCount": self.doc_count, "idf": idf,
                       "k1": float(self.k1), "b": float(self.b),

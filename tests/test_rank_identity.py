@@ -370,3 +370,124 @@ def test_lmjm_similarity_distributed_matches_local(spark, index_dir):
         n_nonempty += bool(a)
         assert a == b, q
     assert n_nonempty >= 4
+
+
+def test_simbase_similarities_rank_identity(index_dir, oracle):
+    """SimilarityBase family (dfr/ib/dfi/ax/bool, similarities.py) as
+    query-time Similarities: engine single-term scores equal an
+    INDEPENDENT float32 twin transliterated here straight from the
+    reference formulas over the oracle's postings — DFRSimilarity
+    I(n)L2 (BasicModelIn.java:33-37, AfterEffectL.java:32-34,
+    NormalizationH2.java:52-54), IB LL-D2 (DistributionLL.java:33-35,
+    LambdaDF.java:31-34), DFI ChiSquared (DFISimilarity.java:53-64),
+    AxiomaticF2EXP s=0.25 k=0.35 (AxiomaticF2EXP.java:58-88), and
+    BooleanSimilarity (score = boost).  docLen decodes from the
+    SimilarityBase norm byte (1/f^2); AND nodes sum per-clause float32
+    scores (MultiSimScorer) then double-sum across clauses like every
+    other similarity."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_spark.oracle.smallfloat import NORM_TABLE
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    N = oracle.doc_count
+    sttf = oracle.sum_total_term_freq
+    avgdl = np.float32(sttf / float(N))
+    ln2 = math.log(2.0)
+
+    def tfn_h2(freq, dl):
+        inner = (np.float32(1.0) + (avgdl / dl).astype(np.float32)
+                 ).astype(np.float32)
+        return (freq.astype(np.float64)
+                * (np.log(inner.astype(np.float64)) / ln2)
+                ).astype(np.float32)
+
+    def twin(sim, term):
+        docs, tfs = oracle.postings[term]
+        df = docs.size
+        ttf = int(tfs.sum())
+        freq = tfs.astype(np.float32)
+        dl = NORM_TABLE[oracle.norm_bytes[docs]]
+        if sim == "bool":
+            return docs, np.ones(freq.size, dtype=np.float32)
+        if sim == "dfi":
+            expected = ((np.float32(ttf + 1) * dl).astype(np.float32)
+                        / np.float32(sttf + 1)).astype(np.float32)
+            d = (freq - expected).astype(np.float32)
+            s = (np.log((d * d / expected + np.float32(1.0)
+                         ).astype(np.float64)) / ln2).astype(np.float32)
+            return docs, np.where(freq <= expected, np.float32(0.0), s)
+        if sim == "ax":
+            s_, k_ = np.float32(0.25), 0.35
+            denom = ((freq + s_).astype(np.float32)
+                     + ((s_ * dl).astype(np.float32) / avgdl
+                        ).astype(np.float32)).astype(np.float32)
+            idf = np.float32(math.pow((N + 1.0) / df, k_))
+            return docs, ((freq / denom).astype(np.float32) * idf
+                          ).astype(np.float32)
+        tfn = tfn_h2(freq, dl)
+        if sim == "dfr":
+            i_n = np.float32(math.log((N + 1) / (df + 0.5)) / ln2)
+            basic = (tfn * i_n).astype(np.float32)
+            ae = (np.float32(1.0) / (tfn + np.float32(1.0))
+                  ).astype(np.float32)
+            return docs, (basic * ae).astype(np.float32)
+        lam = np.float32(np.float32(df + 1.0) / np.float32(N + 1.0))
+        x = (lam / (tfn + lam)).astype(np.float32)
+        return docs, (-np.log(x.astype(np.float64))).astype(np.float32)
+
+    def topk(docs, scores, k=10):
+        # 0-score matches are still hits (dfi can score a present
+        # posting 0) — rank them, don't drop them, like _topk_hits
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+    for sim in ("dfr", "ib", "dfi", "ax", "bool"):
+        s = LocalSearcher(index_dir, similarity=sim)
+        for t in ("retry", "deploy", "cache"):
+            want = topk(*twin(sim, t))
+            got = [(d, np.float32(x)) for d, x in s.search(t, 10)]
+            assert got == want, (sim, t)
+        # AND: intersect, per-clause float32 scores double-summed
+        da, sa = twin(sim, "retry")
+        db, sb = twin(sim, "deploy")
+        inter = np.intersect1d(da, db, assume_unique=True)
+        ia = np.searchsorted(da, inter)
+        ib_ = np.searchsorted(db, inter)
+        summed = (sa[ia].astype(np.float64)
+                  + sb[ib_].astype(np.float64)).astype(np.float32)
+        got = [(d, np.float32(x))
+               for d, x in s.search("retry AND deploy", 10)]
+        assert got == topk(inter, summed), sim
+
+
+def test_simbase_similarities_distributed_matches_local(spark, index_dir):
+    """SimilarityBase family float32 serving mode: DistributedSearcher
+    == LocalSearcher across term/boolean/phrase/span/keyword-field
+    shapes, and the float64 gate mode ranks identically."""
+    import numpy as np
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    near = ("span_near", [("sterm", "retry"), ("sterm", "deploy")], 3,
+            True)
+    qs = ["retry", "retry AND deploy", "retry OR cache",
+          '"retry deploy"~2', near, "retry AND role:assistant"]
+    for sim in ("dfr", "ib", "dfi", "ax", "bool"):
+        ls = LocalSearcher(index_dir, similarity=sim)
+        ds = DistributedSearcher(spark, index_dir, similarity=sim)
+        n_nonempty = 0
+        for q in qs:
+            a = [(d, np.float32(s)) for d, s in ls.search(q, 10)]
+            b = [(d, np.float32(s)) for d, s in ds.search(q, 10)]
+            n_nonempty += bool(a)
+            assert a == b, (sim, q)
+        assert n_nonempty >= 4
+        ds64 = DistributedSearcher(spark, index_dir, dtype="float64",
+                                   similarity=sim)
+        g = ds64.search("retry AND deploy", 10)
+        f = ls.search("retry AND deploy", 10)
+        assert [x[0] for x in g] == [x[0] for x in f], sim
