@@ -644,6 +644,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ensure_index(spark, sf)
         return suggest_prefix_df(spark, idx, "s", k=10)
 
+    def suggest_infix_topk(spark, sf):
+        # AnalyzingInfixSuggester (analyzing/AnalyzingInfixSuggester
+        # .java:560-640): pattern matches anywhere inside the term,
+        # same weight-DESC, term-ASC order — a contains filter over
+        # the column-pruned term dictionary
+        from lucene_solr_spark.query.suggest import suggest_prefix_df
+
+        idx = _ensure_index(spark, sf)
+        return suggest_prefix_df(spark, idx, "at", k=10, mode="infix")
+
+    def facet_range_events(spark, sf):
+        # Range facet (SimpleFacets.getFacetRangeCounts /
+        # search/facet/FacetRange.java): fixed-gap buckets over a
+        # numeric field, include=lower — one hash aggregate, bucket id
+        # is a projection so the shuffle carries <= n_buckets rows per
+        # partition
+        from lucene_solr_spark.operators.streams import facet_range
+
+        e = _tbl(spark, sf, "events")
+        out = facet_range(e, "value", 0.0, 500.0, 100.0,
+                          {"count": [], "sum": ["value"]})
+        return out.select(
+            "bucket_start", "count_rows",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
     def phrase_sloppy_repeats(spark, sf):
         # repeated-term sloppy phrase (the hasRpts path,
         # SloppyPhraseScorer.java:147-256): membership is SQL-checkable
@@ -930,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "suggest_infix_topk": suggest_infix_topk,
+        "facet_range_events": facet_range_events,
         "dfr_term_topk": dfr_term_topk,
         "ib_term_topk": ib_term_topk,
         "dfi_term_topk": dfi_term_topk,
@@ -1395,6 +1423,19 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "suggest_infix_topk": f"""
+WITH {_TOK_CTE}
+SELECT term, doc_freq FROM ts WHERE term LIKE '%at%'
+ORDER BY doc_freq DESC, term ASC LIMIT 10
+""",
+        "facet_range_events": """
+SELECT bucket_start, count_rows, ROUND(sum_value, 2) AS sum_value FROM (
+  SELECT 0.0 + FLOOR((value - 0.0) / 100.0) * 100.0 AS bucket_start,
+         COUNT(*) AS count_rows, SUM(value) AS sum_value
+  FROM events WHERE value >= 0.0 AND value < 500.0
+  GROUP BY 1
+) ORDER BY bucket_start
 """,
         "dfr_term_topk": _simbase_term_sql("dfr", "batch"),
         "ib_term_topk": _simbase_term_sql("ib", "batch"),

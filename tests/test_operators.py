@@ -174,3 +174,40 @@ def test_cosine_near_dup_multiband_recall(spark, tmp_path):
         ).collect()
     }
     assert len(got1) <= len(got8), "bands only ever add candidates"
+
+
+def test_facet_range_matches_pandas(spark):
+    """facet_range == a pandas twin: fixed-gap [start+i*gap, ..)
+    buckets, include=lower, rows outside [start, end) dropped, one row
+    per non-empty bucket (SimpleFacets.getFacetRangeCounts)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.operators.streams import facet_range
+
+    e = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    got = facet_range(
+        e, "value", 50.0, 450.0, 100.0, {"count": [], "sum": ["value"]}
+    ).toPandas()
+    pdf = e.select("value").toPandas()
+    v = pdf["value"].to_numpy()
+    keep = (v >= 50.0) & (v < 450.0)
+    idx = np.floor((v[keep] - 50.0) / 100.0).astype(int)
+    twin = (
+        pd.DataFrame({"bucket_start": 50.0 + idx * 100.0,
+                      "value": v[keep]})
+        .groupby("bucket_start")
+        .agg(count_rows=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    assert got["bucket_start"].tolist() == twin["bucket_start"].tolist()
+    assert got["count_rows"].tolist() == twin["count_rows"].tolist()
+    assert np.allclose(got["sum_value"], twin["sum_value"], rtol=1e-9)
+    # the range predicate reaches the scan (pushed filter on value)
+    plan = facet_range(e, "value", 50.0, 450.0, 100.0)._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value,50.0)" in plan
