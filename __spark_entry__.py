@@ -644,6 +644,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ensure_index(spark, sf)
         return suggest_prefix_df(spark, idx, "s", k=10)
 
+    def ml_features_igain(spark, sf):
+        # FeaturesSelectionStream backed by the IGain collector
+        # (FeaturesSelectionStream.java:330-375,
+        # IGainTermsQParserPlugin.java:160-211): top terms by
+        # information gain against the role=='assistant' outcome,
+        # with the stream's idf_d = ln(numDocs/(docFreq+1))
+        from lucene_solr_spark.operators.ml import features_selection
+
+        idx = _ensure_index(spark, sf)
+        out = features_selection(spark, idx, outcome_col="role",
+                                 positive_value="assistant", num_terms=8)
+        return out.select(
+            "index_i", "term_s",
+            F.round("score_f", 6).alias("score_f"),
+            F.round("idf_d", 6).alias("idf_d"),
+        )
+
+    def ml_text_logit(spark, sf):
+        # TextLogitStream protocol (TextLogitStream.java:442-510):
+        # per-iteration shard-sequential SGD + driver weight average;
+        # iterative float training has no ANSI-SQL twin, so this gate
+        # is rows-only (the driver records the weaker check) — the
+        # semantics are locked by pytest (error decreases, confusion
+        # counts partition the corpus, determinism across runs)
+        from lucene_solr_spark.operators.ml import (
+            features_selection, text_logit,
+        )
+
+        idx = _ensure_index(spark, sf)
+        sel = features_selection(spark, idx, num_terms=6).collect()
+        out = text_logit(
+            spark, idx, [r["term_s"] for r in sel],
+            [r["idf_d"] for r in sel], max_iterations=5,
+        )
+        return out.select(
+            "iteration_i", F.round("error_d", 4).alias("error_d"),
+            "trueNegative_i", "truePositive_i", "falseNegative_i",
+            "falsePositive_i",
+        )
+
     def suggest_infix_topk(spark, sf):
         # AnalyzingInfixSuggester (analyzing/AnalyzingInfixSuggester
         # .java:560-640): pattern matches anywhere inside the term,
@@ -956,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "ml_features_igain": ml_features_igain,
+        "ml_text_logit": ml_text_logit,
         "suggest_infix_topk": suggest_infix_topk,
         "facet_range_events": facet_range_events,
         "dfr_term_topk": dfr_term_topk,
@@ -1423,6 +1465,44 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ml_features_igain": f"""
+WITH {_TOK_CTE},
+labels AS (
+  SELECT doc_id,
+         CASE WHEN ({_ROLE_SQL}) = 'assistant' THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+tot AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(label)::DOUBLE AS npos FROM labels
+),
+pt AS (
+  SELECT term, COUNT(*)::DOUBLE AS df_, SUM(label)::DOUBLE AS xc
+  FROM tf JOIN labels USING (doc_id)
+  GROUP BY term
+),
+scored AS (
+  SELECT term,
+         (CASE WHEN npos/n <= 0.0 OR npos/n >= 1.0 THEN 0.0
+               ELSE -(npos/n)*LN(npos/n) - (1.0-npos/n)*LN(1.0-npos/n) END)
+         - ((df_/n) * (CASE WHEN xc/df_ <= 0.0 OR xc/df_ >= 1.0 THEN 0.0
+                            ELSE -(xc/df_)*LN(xc/df_)
+                                 - (1.0-xc/df_)*LN(1.0-xc/df_) END)
+            + (1.0 - df_/n)
+              * (CASE WHEN (npos-xc)/(n-df_+1.0) <= 0.0
+                           OR (npos-xc)/(n-df_+1.0) >= 1.0 THEN 0.0
+                      ELSE -((npos-xc)/(n-df_+1.0))
+                           * LN((npos-xc)/(n-df_+1.0))
+                           - (1.0-(npos-xc)/(n-df_+1.0))
+                           * LN(1.0-(npos-xc)/(n-df_+1.0)) END))
+         AS score_f,
+         LN(n / (df_ + 1.0)) AS idf_d
+  FROM pt, tot
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score_f DESC, term ASC)::INT AS index_i,
+       term AS term_s, ROUND(score_f, 6) AS score_f,
+       ROUND(idf_d, 6) AS idf_d
+FROM scored ORDER BY score_f DESC, term ASC LIMIT 8
 """,
         "suggest_infix_topk": f"""
 WITH {_TOK_CTE}
