@@ -839,6 +839,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = rank(f1, [F.asc("o_orderkey")], 15)
         return top.select("o_orderkey", "c_custkey", "c_name")
 
+    def stream_outer_hash_join(spark, sf):
+        # OuterHashJoinStream (io/stream/OuterHashJoinStream.java):
+        # left-outer with the build side hashed in memory — unmatched
+        # left tuples pass through with null decoration
+        from lucene_solr_spark.operators.streams import hash_join
+
+        o = _tbl(spark, sf, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+        )
+        c = _tbl(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ).select("c_custkey", "c_name")
+        j = hash_join(o, c, ["c_custkey"], how="left_outer")
+        top = rank(j, [F.asc("o_orderkey")], 15)
+        return top.select("o_orderkey", "c_custkey", "c_name")
+
     def stream_facet(spark, sf):
         e = _tbl(spark, sf, "events")
         return facet(
@@ -998,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 additions + r4-changed code paths -----------------
         "ml_features_igain": ml_features_igain,
         "ml_text_logit": ml_text_logit,
+        "stream_outer_hash_join": stream_outer_hash_join,
         "suggest_infix_topk": suggest_infix_topk,
         "facet_range_events": facet_range_events,
         "dfr_term_topk": dfr_term_topk,
@@ -1718,6 +1735,14 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 SELECT o_orderkey, o_orderstatus FROM orders
 WHERE o_orderstatus IN ('O', 'F', 'P')
 ORDER BY o_orderkey LIMIT 20
+""",
+        "stream_outer_hash_join": """
+SELECT o.o_orderkey, o.o_custkey AS c_custkey, c.c_name
+FROM orders o
+LEFT OUTER JOIN (SELECT c_custkey, c_name FROM customer
+                 WHERE c_mktsegment = 'BUILDING') c
+ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey ASC LIMIT 15
 """,
         "stream_intersect": """
 SELECT c_custkey, c_name FROM customer
