@@ -644,6 +644,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ensure_index(spark, sf)
         return suggest_prefix_df(spark, idx, "s", k=10)
 
+    def _tpch_graph_edges(spark, sf):
+        # bipartite-chained edge list: customer -> order -> part, node
+        # ids namespaced so key spaces never collide
+        o = _tbl(spark, sf, "orders").select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+            .alias("from"),
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string"))
+            .alias("to"),
+        )
+        li = _tbl(spark, sf, "lineitem").select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
+            .alias("from"),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+            .alias("to"),
+        )
+        return o.unionByName(li)
+
+    def graph_shortest_path(spark, sf):
+        # ShortestPathStream (io/graph/ShortestPathStream.java:316-440):
+        # level-synchronous BFS, ALL shortest paths via per-level parent
+        # lists; endpoints derived deterministically from the data (the
+        # minimal orderkey's customer to that order's minimal part)
+        from lucene_solr_spark.operators.graph import shortest_path
+
+        li = _tbl(spark, sf, "lineitem")
+        o = _tbl(spark, sf, "orders")
+        o0 = li.agg(F.min("l_orderkey")).collect()[0][0]
+        p0 = li.filter(F.col("l_orderkey") == o0).agg(
+            F.min("l_partkey")
+        ).collect()[0][0]
+        c0 = o.filter(F.col("o_orderkey") == o0).collect()[0]["o_custkey"]
+        sp = shortest_path(
+            _tpch_graph_edges(spark, sf), f"c:{c0}", f"p:{p0}",
+            "from", "to", max_depth=3,
+        )
+        return sp.select(
+            F.array_join("path", "->").alias("path_s"), "depth"
+        ).orderBy("path_s")
+
+    def graph_gather_nodes(spark, sf):
+        # GatherNodesStream (io/graph/GatherNodesStream.java): one
+        # breadth-first hop from root customers across the order edge
+        # relation, scatter=branches+leaves, trackTraversal ancestors
+        from lucene_solr_spark.operators.graph import gather_nodes
+
+        c = _tbl(spark, sf, "customer").filter(
+            F.col("c_custkey") <= 3
+        ).select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+            .alias("node")
+        )
+        out = gather_nodes(
+            _tpch_graph_edges(spark, sf), c, "from", "to",
+            scatter=("branches", "leaves"), track_traversal=True,
+        )
+        return out.select(
+            "node", "level", "count_rows",
+            F.array_join("ancestors", ",").alias("ancestors"),
+        ).orderBy("level", "node")
+
     def ml_features_igain(spark, sf):
         # FeaturesSelectionStream backed by the IGain collector
         # (FeaturesSelectionStream.java:330-375,
@@ -1012,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "graph_shortest_path": graph_shortest_path,
+        "graph_gather_nodes": graph_gather_nodes,
         "ml_features_igain": ml_features_igain,
         "ml_text_logit": ml_text_logit,
         "stream_outer_hash_join": stream_outer_hash_join,
@@ -1482,6 +1544,55 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "graph_shortest_path": """
+WITH RECURSIVE edges AS (
+  SELECT 'c:' || o_custkey AS f, 'o:' || o_orderkey AS t FROM orders
+  UNION ALL
+  SELECT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem
+),
+src AS (
+  SELECT 'c:' || (SELECT o_custkey FROM orders
+                  WHERE o_orderkey = (SELECT MIN(l_orderkey) FROM lineitem))
+         AS s
+),
+tgt AS (
+  SELECT 'p:' || (SELECT MIN(l_partkey) FROM lineitem
+                  WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem))
+         AS g
+),
+p AS (
+  SELECT s AS node, [s] AS path, 0 AS d FROM src
+  UNION ALL
+  SELECT e.t, list_append(p.path, e.t), d + 1
+  FROM p JOIN edges e ON e.f = p.node
+  WHERE d < 3 AND NOT list_contains(p.path, e.t)
+)
+SELECT DISTINCT array_to_string(path, '->') AS path_s, d AS depth FROM p
+WHERE node = (SELECT g FROM tgt)
+  AND d = (SELECT MIN(d) FROM p WHERE node = (SELECT g FROM tgt))
+ORDER BY path_s
+""",
+        "graph_gather_nodes": """
+WITH edges AS (
+  SELECT 'c:' || o_custkey AS f, 'o:' || o_orderkey AS t FROM orders
+  UNION ALL
+  SELECT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem
+),
+roots AS (
+  SELECT DISTINCT 'c:' || c_custkey AS node FROM customer
+  WHERE c_custkey <= 3
+),
+leaves AS (
+  SELECT e.t AS node, 1 AS level, COUNT(*) AS count_rows,
+         array_to_string(list_sort(list(DISTINCT e.f)), ',') AS ancestors
+  FROM edges e JOIN roots r ON e.f = r.node
+  GROUP BY e.t
+)
+SELECT node, level, count_rows, ancestors FROM leaves
+UNION ALL
+SELECT node, 0 AS level, NULL::BIGINT, NULL::VARCHAR FROM roots
+ORDER BY level, node
 """,
         "ml_features_igain": f"""
 WITH {_TOK_CTE},
