@@ -661,6 +661,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def collapse_expand(spark, sf):
+        # Field collapsing + expand (CollapsingQParserPlugin group
+        # heads + ExpandComponent members): one window agg over the
+        # match set partitioned by the collapse field
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        out = ds.collapse_df("batch", "role", k=3, expand_k=2)
+        return out.select(
+            "group", "doc_id", F.round("score", 4).alias("score"), "rank"
+        )
+
     def graph_shortest_path(spark, sf):
         # ShortestPathStream (io/graph/ShortestPathStream.java:316-440):
         # level-synchronous BFS, ALL shortest paths via per-level parent
@@ -1072,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "collapse_expand": collapse_expand,
         "graph_shortest_path": graph_shortest_path,
         "graph_gather_nodes": graph_gather_nodes,
         "ml_features_igain": ml_features_igain,
@@ -1544,6 +1558,27 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "collapse_expand": f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT tf.doc_id, {_BM25_SQL_SCORE} AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+),
+g AS (
+  SELECT doc_id, score, ({_ROLE_SQL}) AS grp,
+         ROW_NUMBER() OVER (PARTITION BY ({_ROLE_SQL})
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+heads AS (
+  SELECT grp FROM g WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 3
+)
+SELECT g.grp AS "group", g.doc_id, ROUND(g.score, 4) AS score,
+       g.rn::INT AS "rank"
+FROM g JOIN heads USING (grp) WHERE g.rn <= 3
+ORDER BY g.grp, g.rn
 """,
         "graph_shortest_path": """
 WITH RECURSIVE edges AS (

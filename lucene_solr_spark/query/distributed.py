@@ -1128,6 +1128,55 @@ class DistributedSearcher:
             .limit(k)
         )
 
+    def collapse_df(self, query, field: str, k: int = 10,
+                    expand_k: int = 0) -> DataFrame:
+        """Field collapsing + expand (solr/core/.../search/
+        CollapsingQParserPlugin.java group-head selection,
+        handler/component/ExpandComponent.java): keep ONE top-scoring
+        doc per `field` group among the query's matches (head =
+        (score desc, docID asc) min, the plugin's default max-score
+        head), rank surviving heads by score, and with expand_k > 0
+        also return up to expand_k non-head members per surviving
+        group.  Returns DataFrame(group, doc_id, score, rank) where
+        rank 1 is the collapsed head and 2..expand_k+1 the expansion —
+        one window aggregation over the match set, partitioned by the
+        group field (one shuffle; group cardinality never limits
+        parallelism the way a driver-side collapse would)."""
+        from pyspark.sql import Window
+
+        node = parse_query(query) if isinstance(query, str) else query
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
+            return self.spark.createDataFrame(
+                [], f"group string, doc_id long, score {self._st}, rank int"
+            )
+        scored = self._scored_terms_df(_terms_of(node))
+        plan = self._live(
+            self._plan(node, scored, [0])
+        ).select("doc_id", "score")
+        docmap = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", F.col(field).cast("string").alias("group"))
+        w = Window.partitionBy("group").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            plan.join(docmap, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 1 + max(0, expand_k))
+        )
+        heads = (
+            ranked.filter(F.col("rank") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("group")
+        )
+        return (
+            ranked.join(F.broadcast(heads), "group", "left_semi")
+            .select("group", "doc_id", "score", "rank")
+            .orderBy(F.asc("group"), F.asc("rank"))
+        )
+
     def fetch_topk_with_source(self, query, transcripts: DataFrame, k: int = 10
                                ) -> DataFrame:
         """Two-phase fetch (Solr GET_FIELDS): broadcast-join the tiny top-k
