@@ -661,6 +661,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def realtime_get(spark, sf):
+        # RealTimeGet (/get, solr/core/.../handler/component/
+        # RealTimeGetComponent.java): fetch stored fields by doc id —
+        # an id-set predicate pushed into the docmap scan (the stored-
+        # fields reader role; our NRT manifest makes committed segments
+        # immediately visible, so plain docmap IS the realtime view)
+        idx = _ensure_index(spark, sf)
+        ids = [1, 5, 11, 4242]
+        return (
+            spark.read.parquet(os.path.join(idx, "docmap"))
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "conv_id", "turn_idx", "role", "text")
+            .orderBy("doc_id")
+        )
+
     def collapse_expand(spark, sf):
         # Field collapsing + expand (CollapsingQParserPlugin group
         # heads + ExpandComponent members): one window agg over the
@@ -1085,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "realtime_get": realtime_get,
         "collapse_expand": collapse_expand,
         "graph_shortest_path": graph_shortest_path,
         "graph_gather_nodes": graph_gather_nodes,
@@ -1558,6 +1574,11 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "realtime_get": f"""
+SELECT doc_id, printf('doc%012d', doc_id) AS conv_id, 0::INT AS turn_idx,
+       ({_ROLE_SQL}) AS role, text
+FROM documents WHERE doc_id IN (1, 5, 11, 4242) ORDER BY doc_id
 """,
         "collapse_expand": f"""
 WITH {_TOK_CTE},
