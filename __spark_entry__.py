@@ -661,6 +661,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def facet_query_counts(spark, sf):
+        # facet.query (solr/core/.../request/SimpleFacets
+        # .getFacetQueryCounts): a count per arbitrary sub-query over
+        # the needsScores=false FILTER path — each count is one
+        # matching_docs_df aggregate, no scoring work
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        sub = [("q_and", "batch AND query"), ("q_dup", "dup"),
+               ("q_or", "batch OR dup")]
+        cnt = None
+        for name, q in sub:
+            c = ds.matching_docs_df(q).agg(
+                F.count("*").alias("count_rows")
+            ).select(F.lit(name).alias("facet"), "count_rows")
+            cnt = c if cnt is None else cnt.unionByName(c)
+        return cnt.orderBy("facet")
+
     def realtime_get(spark, sf):
         # RealTimeGet (/get, solr/core/.../handler/component/
         # RealTimeGetComponent.java): fetch stored fields by doc id —
@@ -1100,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "facet_query_counts": facet_query_counts,
         "realtime_get": realtime_get,
         "collapse_expand": collapse_expand,
         "graph_shortest_path": graph_shortest_path,
@@ -1574,6 +1594,19 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "facet_query_counts": f"""
+WITH {_TOK_CTE}
+SELECT 'q_and' AS facet, COUNT(*) AS count_rows FROM (
+  SELECT doc_id FROM tf WHERE term IN ('batch', 'query')
+  GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+)
+UNION ALL
+SELECT 'q_dup', COUNT(DISTINCT doc_id) FROM tf WHERE term = 'dup'
+UNION ALL
+SELECT 'q_or', COUNT(DISTINCT doc_id) FROM tf
+WHERE term IN ('batch', 'dup')
+ORDER BY facet
 """,
         "realtime_get": f"""
 SELECT doc_id, printf('doc%012d', doc_id) AS conv_id, 0::INT AS turn_idx,
