@@ -661,6 +661,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def streaming_windowed_counts(spark, sf):
+        # watermarked event-time tumbling windows (DaemonStream +
+        # RollupStream rolling-metrics role) run to completion over the
+        # documents-as-transcripts stream; counts per (window, role)
+        # are SQL-checkable since the stream has no late data
+        import uuid
+
+        from lucene_solr_spark.streaming.ops import windowed_counts
+
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        tdf = _documents_as_transcripts(spark, sf)
+        src = os.path.join(_GATE_ROOT, f"wc_src_{tag}")
+        if not os.path.exists(src):
+            tdf.coalesce(2).write.parquet(os.path.join(src, "f0"))
+        stream = (
+            spark.readStream.schema(tdf.schema)
+            .parquet(os.path.join(src, "*"))
+        )
+        name = "wc_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed_counts(stream, by="role", window="1 hour",
+                            watermark="2 hours")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .groupBy("win_start", "role")
+            .agg(F.max("count_rows").alias("count_rows"))
+            .orderBy("win_start", "role")
+            .limit(20)
+        )
+
+    def streaming_dedup_keys(spark, sf):
+        # exactly-first stateful streaming dedup (UpdateStream +
+        # SignatureUpdateProcessor role, applyInPandasWithState): the
+        # emitted KEY SET is deterministic and equals DISTINCT md5(text)
+        import uuid
+
+        from lucene_solr_spark.streaming.ops import streaming_dedup
+
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        tdf = _documents_as_transcripts(spark, sf).select(
+            F.md5("text").alias("text_sha"), "conv_id", "turn_idx"
+        )
+        src = os.path.join(_GATE_ROOT, f"dd_src_{tag}")
+        if not os.path.exists(src):
+            tdf.coalesce(2).write.parquet(os.path.join(src, "f0"))
+        stream = (
+            spark.readStream.schema(tdf.schema).parquet(
+                os.path.join(src, "*")
+            )
+        )
+        name = "dd_" + uuid.uuid4().hex[:8]
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name).select("text_sha")
+            .orderBy("text_sha").limit(50)
+        )
+
     def facet_query_counts(spark, sf):
         # facet.query (solr/core/.../request/SimpleFacets
         # .getFacetQueryCounts): a count per arbitrary sub-query over
@@ -1119,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_dedup_keys": streaming_dedup_keys,
         "facet_query_counts": facet_query_counts,
         "realtime_get": realtime_get,
         "collapse_expand": collapse_expand,
@@ -1594,6 +1668,17 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "streaming_windowed_counts": f"""
+SELECT win_start, role, COUNT(*) AS count_rows FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ({_TS_SQL})) AS win_start,
+         ({_ROLE_SQL}) AS role
+  FROM documents
+) GROUP BY win_start, role ORDER BY win_start, role LIMIT 20
+""",
+        "streaming_dedup_keys": """
+SELECT DISTINCT md5(text) AS text_sha FROM documents
+ORDER BY text_sha LIMIT 50
 """,
         "facet_query_counts": f"""
 WITH {_TOK_CTE}
