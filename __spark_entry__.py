@@ -661,6 +661,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def synonym_topk(spark, sf):
+        # SynonymQuery (search/SynonymQuery.java:134-147): terms score
+        # as ONE pseudo-term — per-doc freq = sum of synonym freqs,
+        # docFreq = max over terms; `batch|dup` via the parser surface
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        return (
+            ds.search_df("batch|dup", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
     def streaming_windowed_counts(spark, sf):
         # watermarked event-time tumbling windows (DaemonStream +
         # RollupStream rolling-metrics role) run to completion over the
@@ -1191,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "synonym_topk": synonym_topk,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_dedup_keys": streaming_dedup_keys,
         "facet_query_counts": facet_query_counts,
@@ -1667,6 +1681,24 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
                   / (0.1 * ((ts.ttf + 1.0) / (fs.sttf + 1.0)))) AS score
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "synonym_topk": f"""
+WITH {_TOK_CTE},
+syn AS (
+  SELECT doc_id, SUM(tf) AS tf FROM tf
+  WHERE term IN ('batch', 'dup') GROUP BY doc_id
+),
+pseudo AS (
+  SELECT MAX(doc_freq) AS dfx FROM ts WHERE term IN ('batch', 'dup')
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT syn.doc_id,
+         ln(1.0 + (fs.doc_count - pseudo.dfx + 0.5) / (pseudo.dfx + 0.5))
+         * {K1 + 1.0} * syn.tf
+         / (syn.tf + {K1} * ({1.0 - B} + {B} * dl
+                             / (fs.sttf * 1.0 / fs.doc_count))) AS score
+  FROM syn JOIN dls USING (doc_id), fs, pseudo
 ) ORDER BY score DESC, doc_id LIMIT 10
 """,
         "streaming_windowed_counts": f"""

@@ -165,6 +165,97 @@ class DistributedSearcher:
 
         return post.mapInPandas(dec, "term string, doc_id long, tf int")
 
+    def _decoded_tf_norm_df(self, terms: list[str]) -> DataFrame:
+        """DF(term, doc_id, tf int, norm int) — like _decoded_tf_df but
+        carrying the norm byte (for kernels that score summed freqs)."""
+        post = self._pruned_postings(
+            terms, ["term", "kind", "first_doc", "block_id", "doc_count",
+                    "payload", "norms_payload"],
+        )
+
+        def dec(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs, tfs = decode_block(
+                        dict(kind=row.kind, payload=row.payload,
+                             doc_count=row.doc_count,
+                             first_doc=row.first_doc,
+                             block_id=row.block_id)
+                    )
+                    norms = np.frombuffer(row.norms_payload, dtype=np.uint8)
+                    outs.append(pd.DataFrame(
+                        {"term": row.term, "doc_id": docs,
+                         "tf": tfs.astype("int32"),
+                         "norm": norms.astype("int32")}
+                    ))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return post.mapInPandas(
+            dec, "term string, doc_id long, tf int, norm int"
+        )
+
+    def _synonym_plan(self, terms: list[str],
+                      clause_idx: list[int]) -> DataFrame:
+        """SynonymQuery plan (search/SynonymQuery.java): one pruned
+        decode of the synonym terms, groupBy(doc_id) summing freqs
+        (SynonymScorer — same doc => same norm byte, F.first is safe),
+        then ONE pseudo-term scoring pass with docFreq = max over
+        terms, totalTermFreq = sum (:134-147), through the shared
+        freq->score kernel in both modes."""
+        i = clause_idx[0]
+        clause_idx[0] += 1
+        terms = sorted(set(terms))
+        stats = {
+            r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+            for r in self._text_stats.filter(
+                F.col("term").isin(terms)
+            ).collect()
+        }
+        if not stats:
+            return self.spark.createDataFrame(
+                [], f"doc_id long, score {self._st}, cidx int"
+            )
+        df_max = max(s[0] for s in stats.values())
+        ttf_sum = sum(s[1] for s in stats.values())
+        agg = (
+            self._decoded_tf_norm_df(terms)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("tf"), F.first("norm").alias("norm"))
+        )
+        if self.dtype == "float64":
+            dl = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "dl")
+            agg = agg.join(dl, "doc_id")
+        dc, k1d, bd, avgdl_d = self.doc_count, self.k1, self.b, self._avgdl
+        sttf = self.sum_ttf
+        dtype, st, sim = self.dtype, self._st, self.similarity
+        mu, lam = self.mu, self.lmjm_lambda
+        # pseudo single-clause weight: df = max, ttf = sum
+        wv, cache, idf_sum_d, lmd_w = self._freq_weights(
+            {"__syn__": (df_max, ttf_sum)}, ["__syn__"]
+        )
+
+        def score_syn(batches):
+            for pdf in batches:
+                freqs = pdf["tf"].to_numpy().astype(
+                    np.float32 if dtype == "float32" else np.float64
+                )
+                sc = _score_freq_batch(
+                    freqs, pdf, sim, dtype, wv, cache, idf_sum_d,
+                    k1d, bd, avgdl_d, lmd_w, mu, lam, dc, sttf,
+                )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].to_numpy(), "score": sc}
+                )
+
+        return (
+            agg.mapInPandas(score_syn, f"doc_id long, score {st}")
+            .withColumn("cidx", F.lit(i))
+        )
+
     @property
     def _avgdl(self) -> float:
         return (
@@ -826,6 +917,8 @@ class DistributedSearcher:
             return self.spark.createDataFrame(
                 [], f"doc_id long, score {st}, cidx int"
             )
+        if kind == "synonym":
+            return self._synonym_plan(list(node[1]), clause_idx)
         if kind == "const_or":
             # constant-score union (MultiTermQueryConstantScoreWrapper)
             i = clause_idx[0]
@@ -1294,6 +1387,8 @@ def _terms_of(node) -> list[str]:
         return [node[1]]
     if kind == "const_or":
         return list(node[1])
+    if kind == "synonym":
+        return []  # plans its own summed-tf scan (_synonym_plan)
     if kind in ("matchnone", "fterm", "tsrange"):
         return []
     if kind in ("andnot", "reqopt", "reqfilter"):

@@ -502,6 +502,13 @@ class LocalSearcher:
         if kind in ("span_not", "span_containing", "span_within"):
             return (kind, self.rewrite(node[1]),
                     self.rewrite(node[2])) + tuple(node[3:])
+        if kind == "synonym":
+            # SynonymQuery.Builder sorts + dedupes its terms
+            # (search/SynonymQuery.java constructor); one term left
+            # degenerates to a plain TermQuery
+            terms = sorted(set(node[1]))
+            return ("term", terms[0]) if len(terms) == 1 else \
+                ("synonym", terms)
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
         if kind == "msm_or":
@@ -524,7 +531,7 @@ class LocalSearcher:
             return [("text", node[1])]
         if kind == "fterm":
             return [(node[1], node[2])]
-        if kind == "const_or":
+        if kind in ("const_or", "synonym"):
             return [("text", t) for t in node[1]]
         if kind == "phrase":
             return [("text", t) for t, _ in node[1]]
@@ -553,7 +560,7 @@ class LocalSearcher:
             return self._tp(node[1]).n_docs
         if kind == "fterm":
             return self._tp(node[2], node[1]).n_docs
-        if kind == "const_or":
+        if kind in ("const_or", "synonym"):
             return sum(self._tp(t).n_docs for t in node[1])
         if kind == "matchnone":
             return 0
@@ -988,10 +995,48 @@ class LocalSearcher:
         scores = self._score_freqs(freqs, normsb, wv)
         return cand, scores
 
+    def _pseudo_wv(self, df: int, ttf: int):
+        """Scoring weight from PSEUDO term stats (SynonymQuery.java:
+        134-147: docFreq = max over terms, totalTermFreq = sum) —
+        the per-similarity shape of _term_wv."""
+        if self.similarity in ("lmd", "lmjm"):
+            return self._lmd_pc(ttf)
+        from .similarities import SIMBASE
+
+        if self.similarity in SIMBASE:
+            return [(df, ttf)]
+        return self._weight_value(df)
+
+    def _synonym_eval(self, terms: list[str]
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """SynonymQuery (search/SynonymQuery.java): score the terms as
+        ONE pseudo-term — per doc, freq = SUM of the synonyms' freqs
+        (SynonymScorer), weight from pseudo stats docFreq = max,
+        totalTermFreq = sum; same doc => same norm byte, so norms come
+        from whichever synonym saw the doc."""
+        tps = [self._tp(t) for t in terms if self._tp(t).blocks]
+        if not tps:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        df = max(tp.n_docs for tp in tps)
+        ttf = sum(tp.ttf for tp in tps)
+        parts = [tp.decode_all() for tp in tps]
+        docs_u = np.unique(np.concatenate([p[0] for p in parts]))
+        freq = np.zeros(docs_u.size, dtype=np.float32)
+        norms = np.zeros(docs_u.size, dtype=np.uint8)
+        for d, tfs, nb in parts:
+            idx = np.searchsorted(docs_u, d)
+            np.add.at(freq, idx, tfs.astype(np.float32))
+            norms[idx] = nb
+        return docs_u, self._score_freqs(
+            freq, norms, self._pseudo_wv(df, ttf)
+        )
+
     def _eval_inner(self, node) -> tuple[np.ndarray, np.ndarray]:
         kind = node[0]
         if kind == "term":
             return self._term_full(node[1])
+        if kind == "synonym":
+            return self._synonym_eval(node[1])
         from .spans import SPAN_KINDS
 
         if kind in SPAN_KINDS:

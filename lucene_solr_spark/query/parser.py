@@ -303,6 +303,27 @@ class _Parser:
             if slop > 0:
                 return ("phrase", clauses, slop)
             return ("phrase", clauses)
+        # synonym group: `a|b|c` scores as ONE pseudo-term
+        # (search/SynonymQuery.java — the QueryParser emits it for
+        # analyzer-injected same-position synonyms; `|` is our string
+        # surface for the same query)
+        if ("|" in t and t[0] not in '"/[{'
+                and "*" not in t and "?" not in t):
+            alts = [a for a in re.split(r"\|+", t) if a]
+            terms: list[str] = []
+            for a in alts:
+                at = analyze_query_terms(a)
+                if len(at) > 1:
+                    raise QueryParseError(
+                        f"synonym alternative {a!r} must analyze to one "
+                        "term"
+                    )
+                terms.extend(at)  # stopword alternatives drop out
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return ("term", terms[0])
+            return ("synonym", sorted(set(terms)))
         # regexp
         if t.startswith("/") and t.endswith("/") and len(t) >= 2:
             return ("regexp", t[1:-1].lower())

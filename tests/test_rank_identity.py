@@ -491,3 +491,64 @@ def test_simbase_similarities_distributed_matches_local(spark, index_dir):
         g = ds64.search("retry AND deploy", 10)
         f = ls.search("retry AND deploy", 10)
         assert [x[0] for x in g] == [x[0] for x in f], sim
+
+
+def test_synonym_query_rank_identity(index_dir, oracle):
+    """SynonymQuery (search/SynonymQuery.java): engine scores equal an
+    independent twin — per-doc freq = SUM of the synonyms' freqs
+    (SynonymScorer), ONE BM25 weight from pseudo stats docFreq = max
+    over terms (:134-147), norms unchanged; `a|b` parser surface; the
+    score differs from the OR-sum by construction."""
+    import numpy as np
+
+    from lucene_solr_spark.oracle.smallfloat import NORM_TABLE
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    terms = ["retry", "deploy"]
+    parts = [oracle.postings[t] for t in terms]
+    dfx = max(p[0].size for p in parts)
+    docs_u = np.unique(np.concatenate([p[0] for p in parts]))
+    freq = np.zeros(docs_u.size, dtype=np.float32)
+    for d, tfs in parts:
+        np.add.at(freq, np.searchsorted(docs_u, d),
+                  tfs.astype(np.float32))
+    dc = oracle.doc_count
+    sum_ttf = oracle.sum_total_term_freq
+    k1, b = np.float32(1.2), np.float32(0.75)
+    avgdl = np.float32(sum_ttf / float(dc))
+    idf = np.float32(np.log(1 + (dc - dfx + 0.5) / (dfx + 0.5)))
+    wv = np.float32(idf * (k1 + np.float32(1.0)))
+    cache = (
+        k1 * ((np.float32(1.0) - b)
+              + b * NORM_TABLE / avgdl)
+    ).astype(np.float32)
+    nb = oracle.norm_bytes[docs_u]
+    want_sc = (wv * freq / (freq + cache[nb])).astype(np.float32)
+    order = np.lexsort((docs_u, -want_sc.astype(np.float64)))[:10]
+    want = [(int(docs_u[i]), np.float32(want_sc[i])) for i in order]
+    got = [(d, np.float32(x)) for d, x in s.search("retry|deploy", 10)]
+    assert got == want
+    # differs from the OR-sum (two weights) whenever a doc has both
+    assert dict(got) != dict(s.search("retry OR deploy", 10))
+    # degenerate forms
+    assert s.search("retry|retry", 5) == s.search("retry", 5)
+
+
+def test_synonym_distributed_matches_local(spark, index_dir):
+    """Synonym float32 serving mode: DistributedSearcher ==
+    LocalSearcher across similarities and compositions."""
+    import numpy as np
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    for sim in ("bm25", "classic", "lmd", "lmjm", "dfr", "ib", "dfi",
+                "ax", "bool"):
+        ls = LocalSearcher(index_dir, similarity=sim)
+        ds = DistributedSearcher(spark, index_dir, similarity=sim)
+        for q in ("retry|deploy", "retry|deploy AND cache",
+                  "retry|zzzabsent"):
+            a = [(d, np.float32(x)) for d, x in ls.search(q, 10)]
+            b = [(d, np.float32(x)) for d, x in ds.search(q, 10)]
+            assert a == b, (sim, q)
