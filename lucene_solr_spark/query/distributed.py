@@ -1231,10 +1231,18 @@ class DistributedSearcher:
         head), rank surviving heads by score, and with expand_k > 0
         also return up to expand_k non-head members per surviving
         group.  Returns DataFrame(group, doc_id, score, rank) where
-        rank 1 is the collapsed head and 2..expand_k+1 the expansion —
-        one window aggregation over the match set, partitioned by the
-        group field (one shuffle; group cardinality never limits
-        parallelism the way a driver-side collapse would)."""
+        rank 1 is the collapsed head and 2..expand_k+1 the expansion.
+
+        Skew discipline: a window partitioned by the group field alone
+        would funnel ALL matches of a low-cardinality field (role has
+        3 values) into as many tasks — a 100-TB bottleneck.  Instead
+        the top-(1+expand_k) survivors are taken per (group, input
+        partition) first (hash-distributed across ALL tasks — the
+        per-segment head selection the reference does per leaf reader),
+        and only the tiny per-partition survivor set (<= groups *
+        partitions * (1+expand_k) rows) goes through the final
+        per-group window — the TopDocs.merge shape applied to
+        collapsing."""
         from pyspark.sql import Window
 
         node = parse_query(query) if isinstance(query, str) else query
@@ -1250,13 +1258,24 @@ class DistributedSearcher:
         docmap = self.spark.read.parquet(
             os.path.join(self.index_dir, "docmap")
         ).select("doc_id", F.col(field).cast("string").alias("group"))
+        keep_n = 1 + max(0, expand_k)
+        w_part = Window.partitionBy("group", "_pid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        survivors = (
+            plan.join(docmap, "doc_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prk", F.row_number().over(w_part))
+            .filter(F.col("_prk") <= keep_n)
+            .drop("_pid", "_prk")
+        )
         w = Window.partitionBy("group").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         ranked = (
-            plan.join(docmap, "doc_id")
+            survivors
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 1 + max(0, expand_k))
+            .filter(F.col("rank") <= keep_n)
         )
         heads = (
             ranked.filter(F.col("rank") == 1)
