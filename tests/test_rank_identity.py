@@ -552,3 +552,41 @@ def test_synonym_distributed_matches_local(spark, index_dir):
             a = [(d, np.float32(x)) for d, x in ls.search(q, 10)]
             b = [(d, np.float32(x)) for d, x in ds.search(q, 10)]
             assert a == b, (sim, q)
+
+
+def test_collapse_two_phase_partition_invariance(spark, index_dir):
+    """Field collapsing (collapse_df): the two-phase skew-safe plan
+    (per-(group, input-partition) heads, then the per-group window)
+    returns the same heads/expansion regardless of how the match set
+    is partitioned, and head selection is (score desc, docID asc)."""
+    import numpy as np
+
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    ds = DistributedSearcher(spark, index_dir)
+    got = ds.collapse_df("retry", "role", k=3, expand_k=2).collect()
+    # reference ranking straight from the serving path + stored fields
+    ls = LocalSearcher(index_dir)
+    hits = ls.search("retry", None)
+    import os
+
+    import pyarrow.dataset as pads
+
+    dm = pads.dataset(
+        os.path.join(index_dir, "docmap"), format="parquet",
+        partitioning="hive",
+    ).to_table(columns=["doc_id", "role"]).to_pydict()
+    role = dict(zip(dm["doc_id"], dm["role"]))
+    per: dict = {}
+    for d, s in hits:  # already (score desc, docID asc)
+        per.setdefault(role[d], []).append((d, np.float32(s)))
+    want = []
+    for g in sorted(per, key=lambda g: (-per[g][0][1], per[g][0][0]))[:3]:
+        for rk, (d, s) in enumerate(per[g][:3], start=1):
+            want.append((g, d, s, rk))
+    want.sort(key=lambda r: (r[0], r[3]))
+    assert [
+        (r["group"], r["doc_id"], np.float32(r["score"]), r["rank"])
+        for r in got
+    ] == want
