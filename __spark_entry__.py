@@ -661,6 +661,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def terms_enum_regexp(spark, sf):
+        # TermsComponent (solr/core/.../handler/component/
+        # TermsComponent.java): enumerate dictionary terms matching a
+        # regexp with their docFreq/totalTermFreq, term order — the
+        # terms.regex surface over the same pushed-down dictionary
+        # scan the suggesters use
+        idx = _ensure_index(spark, sf)
+        return (
+            spark.read.parquet(os.path.join(idx, "term_stats"))
+            .filter((F.col("field") == "text")
+                    & F.col("term").rlike("^[bd].*a"))
+            .select("term", "doc_freq", "total_term_freq")
+            .orderBy("term")
+            .limit(20)
+        )
+
     def synonym_topk(spark, sf):
         # SynonymQuery (search/SynonymQuery.java:134-147): terms score
         # as ONE pseudo-term — per-doc freq = sum of synonym freqs,
@@ -1204,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "terms_enum_regexp": terms_enum_regexp,
         "synonym_topk": synonym_topk,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_dedup_keys": streaming_dedup_keys,
@@ -1682,6 +1699,12 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "terms_enum_regexp": f"""
+WITH {_TOK_CTE}
+SELECT term, doc_freq, ttf AS total_term_freq FROM ts
+WHERE regexp_matches(term, '^[bd].*a')
+ORDER BY term LIMIT 20
 """,
         "synonym_topk": f"""
 WITH {_TOK_CTE},
