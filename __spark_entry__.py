@@ -661,6 +661,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def function_boost_topk(spark, sf):
+        # {!boost b=func(field)} (BoostQParserPlugin / BoostedQuery over
+        # a ValueSource): score = bm25 × 1/(1 + dl/100) — the canonical
+        # brevity/recency boost, evaluated JVM-side over the docmap
+        # stored fields
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        out = ds.search_boosted_df(
+            "batch", "1.0 / (1.0 + dl / 100.0)", cols=("dl",), k=10
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    def query_elevation(spark, sf):
+        # QueryElevationComponent: configured ids pinned above organic
+        # hits in configured order (forceElevation: even a non-matching
+        # id stays pinned with score 0), organic tail excludes them
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        out = ds.search_elevated_df("batch", [7, 3, 999999], k=10)
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score"), "elevated"
+        )
+
+    def facet_interval_events(spark, sf):
+        # Interval facets (request/IntervalFacets.java, facet.interval):
+        # arbitrary overlapping intervals with per-end open/closed
+        # bounds, all counted in ONE aggregate pass
+        from lucene_solr_spark.operators.streams import facet_intervals
+
+        e = _tbl(spark, sf, "events")
+        return facet_intervals(e, "value", [
+            ("low", None, 50.0, True, False),        # [*, 50)
+            ("mid", 50.0, 250.0, True, True),        # [50, 250]
+            ("high", 250.0, None, False, True),      # (250, *]
+            ("all", None, None, True, True),
+            ("overlap", 100.0, 300.0, False, False),  # (100, 300)
+        ])
+
     def terms_enum_regexp(spark, sf):
         # TermsComponent (solr/core/.../handler/component/
         # TermsComponent.java): enumerate dictionary terms matching a
@@ -1220,6 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "function_boost_topk": function_boost_topk,
+        "query_elevation": query_elevation,
+        "facet_interval_events": facet_interval_events,
         "terms_enum_regexp": terms_enum_regexp,
         "synonym_topk": synonym_topk,
         "streaming_windowed_counts": streaming_windowed_counts,
@@ -1699,6 +1746,52 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "function_boost_topk": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id,
+         ({_BM25_SQL_SCORE}) * (1.0 / (1.0 + dl / 100.0)) AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "query_elevation": f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT tf.doc_id, {_BM25_SQL_SCORE} AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+),
+elev(doc_id, pos) AS (VALUES (7, 0), (3, 1), (999999, 2))
+SELECT doc_id, ROUND(score, 4) AS score, elevated FROM (
+  SELECT e.doc_id, COALESCE(s.score, 0.0) AS score, TRUE AS elevated,
+         e.pos AS pos
+  FROM elev e LEFT JOIN scored s USING (doc_id)
+  UNION ALL
+  SELECT doc_id, score, FALSE, 2147483647 FROM (
+    SELECT doc_id, score FROM scored WHERE doc_id NOT IN (7, 3, 999999)
+    ORDER BY score DESC, doc_id LIMIT 10
+  )
+) ORDER BY elevated DESC, pos, score DESC, doc_id LIMIT 10
+""",
+        "facet_interval_events": """
+SELECT 'low' AS interval,
+       SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS count_rows
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 'mid', SUM(CASE WHEN value >= 50.0 AND value <= 250.0
+                       THEN 1 ELSE 0 END)
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 'high', SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 'all', COUNT(*) FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 'overlap', SUM(CASE WHEN value > 100.0 AND value < 300.0
+                           THEN 1 ELSE 0 END)
+FROM events WHERE value IS NOT NULL
 """,
         "terms_enum_regexp": f"""
 WITH {_TOK_CTE}

@@ -170,6 +170,45 @@ def facet_range(df: DataFrame, col: str, start: float, end: float,
     return out.select(*cols).orderBy("bucket_start")
 
 
+def facet_intervals(df: DataFrame, col: str,
+                    intervals: Sequence[tuple]) -> DataFrame:
+    """Interval facets (solr/core/.../request/IntervalFacets.java —
+    facet.interval): counts for ARBITRARY, possibly-overlapping
+    intervals with per-end open/closed bounds, each interval given as
+    (label, lo, hi, inc_lo, inc_hi) with None for an unbounded end
+    (Solr's `[*,b)` syntax).
+
+    Spark-first: Solr counts every interval in ONE DocValues pass; the
+    analogue is one aggregate of conditional sums — a single scan, no
+    shuffle beyond the final scalar row, any number of intervals."""
+    v = F.col(col)
+    aggs = []
+    for label, lo, hi, inc_lo, inc_hi in intervals:
+        cond = v.isNotNull()
+        if lo is not None:
+            cond = cond & (v >= lo if inc_lo else v > lo)
+        if hi is not None:
+            cond = cond & (v <= hi if inc_hi else v < hi)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(label)
+        )
+    wide = df.agg(*aggs)
+    # one row per interval, in the caller's order (the reference
+    # returns intervals in request order)
+    pairs = F.array(*[
+        F.struct(F.lit(lbl).alias("interval"),
+                 F.col(lbl).alias("count_rows"),
+                 F.lit(i).alias("_ord"))
+        for i, (lbl, *_rest) in enumerate(intervals)
+    ])
+    return (
+        wide.select(F.explode(pairs).alias("e"))
+        .select("e.interval", "e.count_rows", "e._ord")
+        .orderBy("_ord")
+        .drop("_ord")
+    )
+
+
 def subfacet(df: DataFrame, by: str, sub: str,
              metrics: dict[str, Sequence[str]], limit: int, sub_limit: int,
              sort: Sequence | None = None,

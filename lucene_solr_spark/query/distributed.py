@@ -1289,6 +1289,91 @@ class DistributedSearcher:
             .orderBy(F.asc("group"), F.asc("rank"))
         )
 
+    def search_elevated_df(self, query, elevated_ids: list[int],
+                           k: int = 10) -> DataFrame:
+        """Query elevation (solr/core/.../handler/component/
+        QueryElevationComponent.java): the configured doc ids rank
+        ABOVE every organic hit, in configured order — the editorial
+        "sponsored result" pin.  Elevated docs keep their organic score
+        when they match the query and 0 otherwise (forceElevation:
+        pinned even when not matching); organic results follow in
+        (score desc, docID asc) order with the elevated ids excluded,
+        k rows total.  One extra broadcast join over the normal plan —
+        the elevation set is configuration-sized."""
+        st = self._st
+        node = parse_query(query) if isinstance(query, str) else query
+        node = self.rewrite(node)
+        organic = (
+            self._live(self._plan(node, self._scored_terms_df(
+                _terms_of(node)), [0])).select("doc_id", "score")
+            if node is not None and node[0] != "matchnone"
+            else self.spark.createDataFrame([], f"doc_id long, score {st}")
+        )
+        elev = self.spark.createDataFrame(
+            [(int(d), i) for i, d in enumerate(elevated_ids)],
+            "doc_id long, _pos int",
+        )
+        elev_rows = (
+            elev.join(organic, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("score"), F.lit(0.0)).cast(st)
+                .alias("score"),
+                F.lit(True).alias("elevated"), "_pos",
+            )
+        )
+        org_rows = (
+            organic.join(F.broadcast(elev.select("doc_id")), "doc_id",
+                         "left_anti")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", F.lit(False).alias("elevated"),
+                    F.lit(2**31 - 1).alias("_pos"))
+        )
+        return (
+            elev_rows.unionByName(org_rows)
+            .orderBy(F.desc("elevated"), F.asc("_pos"),
+                     F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .drop("_pos")
+        )
+
+    def search_boosted_df(self, query, boost_expr: str,
+                          cols: tuple[str, ...] = ("dl",),
+                          k: int = 10) -> DataFrame:
+        """Function-boosted search (Solr's `{!boost b=func(field)}` —
+        search/BoostQParserPlugin.java wrapping a FunctionScoreQuery /
+        BoostedQuery over a ValueSource): final score = relevance
+        score × `boost_expr`, a SQL expression over the stored-field
+        columns in `cols` (our docmap IS the DocValues store; the
+        column-pruned doc_id join is the access path).  The canonical
+        use is recency/quality boosting.  Evaluated entirely JVM-side
+        (Catalyst expression), then the usual top-k."""
+        st = self._st
+        node = parse_query(query) if isinstance(query, str) else query
+        node = self.rewrite(node)
+        if node is None or node[0] == "matchnone":
+            return self.spark.createDataFrame(
+                [], f"doc_id long, score {st}"
+            )
+        organic = self._live(
+            self._plan(node, self._scored_terms_df(_terms_of(node)), [0])
+        ).select("doc_id", "score")
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", *cols)
+        return (
+            organic.join(dm, "doc_id")
+            .withColumn(
+                "score",
+                (F.col("score").cast("double")
+                 * F.expr(boost_expr).cast("double")).cast(st),
+            )
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def fetch_topk_with_source(self, query, transcripts: DataFrame, k: int = 10
                                ) -> DataFrame:
         """Two-phase fetch (Solr GET_FIELDS): broadcast-join the tiny top-k
