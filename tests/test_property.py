@@ -174,3 +174,84 @@ def test_topk_matches_naive(hits, k):
         key=lambda x: (-x[1], x[0]),
     )[:k]
     assert got == want
+
+
+# ------------------------------------------- SimilarityBase kernels
+
+sim_inputs = st.tuples(
+    st.sampled_from(["dfr", "ib", "dfi", "ax", "bool"]),
+    st.integers(1, 500),                  # freq
+    st.integers(0, 255),                  # norm byte (decoded docLen)
+    st.integers(1, 10_000),               # df
+    st.integers(1, 1_000_000),            # ttf
+    st.integers(10, 10_000_000),          # doc_count
+    st.integers(10, 100_000_000),         # sum_ttf
+)
+
+
+@given(sim_inputs)
+def test_simbase_kernel_properties(inp):
+    """Serving-mode SimilarityBase kernels (query/similarities.py):
+    scores are finite and >= 0 for any stats (SimilarityBase scorers
+    never go negative — dfi clamps at freq <= expected), monotone
+    non-decreasing in freq at fixed docLen (more occurrences never
+    score lower for these models), and multi-clause weights sum the
+    per-clause float32 scores exactly (MultiSimilarity.MultiSimScorer
+    additivity)."""
+    from lucene_solr_spark.query.similarities import serving_scores
+
+    sim, f, nb, df, ttf, dc, sttf = inp
+    df = min(df, dc)
+    ttf = max(ttf, df)
+    sttf = max(sttf, ttf)
+    avgdl = np.float32(sttf / float(dc))
+    freqs = np.array([f, f + 1], dtype=np.float32)
+    norms = np.array([nb, nb], dtype=np.uint8)
+    s = serving_scores(sim, freqs, norms, [(df, ttf)], dc, sttf, avgdl)
+    assert np.all(np.isfinite(s)) and np.all(s >= 0), (sim, s)
+    assert s[1] >= s[0], (sim, "freq monotonicity", s)
+    # MultiSimScorer additivity: two clauses == f32-sum of singles
+    s1 = serving_scores(sim, freqs, norms, [(df, ttf)], dc, sttf, avgdl)
+    s2 = serving_scores(sim, freqs, norms, [(max(df // 2, 1), ttf)],
+                        dc, sttf, avgdl)
+    both = serving_scores(
+        sim, freqs, norms, [(df, ttf), (max(df // 2, 1), ttf)],
+        dc, sttf, avgdl,
+    )
+    assert np.array_equal(both, (s1 + s2).astype(np.float32)), sim
+
+
+@given(sim_inputs)
+def test_simbase_gate_vs_serving_sign(inp):
+    """Gate-mode (double, exact dl) and serving-mode (float32, decoded
+    norm byte) kernels agree on MATCH SEMANTICS: a posting scores 0 in
+    one mode iff the model can score 0 at all (dfi/bool excepted —
+    dfi's expected-frequency clamp legitimately flips near the
+    boundary under quantized docLen, bool is constant); dfr/ib/ax are
+    strictly positive in BOTH modes."""
+    from lucene_solr_spark.oracle.smallfloat import NORM_TABLE
+    from lucene_solr_spark.query.similarities import (
+        gate_scores, serving_scores,
+    )
+
+    sim, f, nb, df, ttf, dc, sttf = inp
+    df = min(df, dc)
+    ttf = max(ttf, df)
+    sttf = max(sttf, ttf)
+    avgdl = np.float32(sttf / float(dc))
+    freqs = np.array([f], dtype=np.float32)
+    norms = np.array([nb], dtype=np.uint8)
+    srv = serving_scores(sim, freqs, norms, [(df, ttf)], dc, sttf, avgdl)
+    dl = np.array([float(NORM_TABLE[nb])])
+    gt = gate_scores(sim, freqs.astype(np.float64), dl, [(df, ttf)],
+                     dc, sttf)
+    assert np.all(np.isfinite(gt)) and np.all(gt >= 0)
+    # strict positivity holds whenever the NormalizationH2 ratio
+    # avgdl/docLen survives float32 (tfn > 0).  Low norm bytes decode
+    # to astronomically long docLens (byte315 is log-scaled; real
+    # 1..4096-token docs land at bytes ~120+), where 1 + avgdl/dl
+    # rounds to exactly 1 and tfn legitimately underflows to 0 —
+    # found by hypothesis at ('dfr', 1, 0, 1, 1, 10, 10)
+    if (sim in ("dfr", "ib", "ax")
+            and avgdl / float(NORM_TABLE[nb]) > 1e-6):
+        assert srv[0] > 0 and gt[0] > 0, sim
