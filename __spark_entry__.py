@@ -661,6 +661,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def sample_random_docs(spark, sf):
+        # RandomStream role (io/stream/RandomStream.java), made
+        # reproducible: content-keyed md5 coin, so the same rows
+        # survive under any partitioning — and the DuckDB twin
+        # computes the identical arithmetic
+        from lucene_solr_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return (
+            deterministic_sample(d, 0.05, ["doc_id"], seed=7)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    def sample_stratified(spark, sf):
+        # class-balanced corpus construction: per-stratum fractions
+        # over the derived role column, one content-keyed filter
+        from lucene_solr_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        t = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")
+        ).select("doc_id", F.expr(_ROLE_SQL).alias("role"))
+        out = stratified_sample(
+            t, "role", {"assistant": 0.2, "user": 0.05}, ["doc_id"],
+            seed=11,
+        )
+        return (
+            out.groupBy("role").agg(F.count("*").alias("count_rows"))
+            .orderBy("role")
+        )
+
     def function_boost_topk(spark, sf):
         # {!boost b=func(field)} (BoostQParserPlugin / BoostedQuery over
         # a ValueSource): score = bm25 × 1/(1 + dl/100) — the canonical
@@ -1264,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "sample_random_docs": sample_random_docs,
+        "sample_stratified": sample_stratified,
         "function_boost_topk": function_boost_topk,
         "query_elevation": query_elevation,
         "facet_interval_events": facet_interval_events,
@@ -1746,6 +1783,23 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "sample_random_docs": """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || '#7'), 1, 8))
+           AS BIGINT) / 4294967296.0 < 0.05
+ORDER BY doc_id
+""",
+        "sample_stratified": f"""
+SELECT role, COUNT(*) AS count_rows FROM (
+  SELECT ({_ROLE_SQL}) AS role,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || '#11'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS coin
+  FROM documents
+)
+WHERE (role = 'assistant' AND coin < 0.2)
+   OR (role = 'user' AND coin < 0.05)
+GROUP BY role ORDER BY role
 """,
         "function_boost_topk": f"""
 WITH {_TOK_CTE}
