@@ -661,6 +661,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def common_terms_topk(spark, sf):
+        # CommonTermsQuery (queries/CommonTermsQuery.java): df-split at
+        # ceil(0.3 * maxDoc) — rare 'dup' becomes REQUIRED, common
+        # 'batch'/'query' only contribute score (the stopword-free
+        # stopword treatment); executes as the engine's reqopt node
+        from lucene_solr_spark.index.builder import read_field_stats
+        from lucene_solr_spark.query.commonterms import common_terms_node
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        terms = ["batch", "query", "dup"]
+        dfs = {
+            r["term"]: int(r["doc_freq"])
+            for r in ds._text_stats.filter(
+                F.col("term").isin(terms)
+            ).collect()
+        }
+        max_doc = int(read_field_stats(idx)["max_doc"] or 0)
+        node = common_terms_node(dfs, max_doc, terms,
+                                 max_term_frequency=0.3)
+        return (
+            ds.search_df(node, 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
     def sample_random_docs(spark, sf):
         # RandomStream role (io/stream/RandomStream.java), made
         # reproducible: content-keyed md5 coin, so the same rows
@@ -1299,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "common_terms_topk": common_terms_topk,
         "sample_random_docs": sample_random_docs,
         "sample_stratified": sample_stratified,
         "function_boost_topk": function_boost_topk,
@@ -1783,6 +1810,23 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
                   / (0.1 * ((ts.ttf + 1.0) / (fs.sttf + 1.0)))) AS score
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "common_terms_topk": f"""
+WITH {_TOK_CTE},
+sc AS (
+  SELECT tf.doc_id, tf.term, {_BM25_SQL_SCORE} AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term IN ('batch', 'query', 'dup')
+),
+req AS (SELECT doc_id, score FROM sc WHERE term = 'dup'),
+ob  AS (SELECT doc_id, score FROM sc WHERE term = 'batch'),
+oq  AS (SELECT doc_id, score FROM sc WHERE term = 'query')
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT req.doc_id,
+         req.score + (COALESCE(ob.score, 0.0) + COALESCE(oq.score, 0.0))
+         AS score
+  FROM req LEFT JOIN ob USING (doc_id) LEFT JOIN oq USING (doc_id)
 ) ORDER BY score DESC, doc_id LIMIT 10
 """,
         "sample_random_docs": """

@@ -885,3 +885,39 @@ def test_conversation_block_join(spark, index_dir, oracle):
             for r in ds.search_conversations("cache OR deploy", 5, mode).collect()
         ]
         assert got == [(s, c) for s, c in want_rolled], mode
+
+
+def test_common_terms_query(spark, index_dir, oracle):
+    """CommonTermsQuery (queries/CommonTermsQuery.java): df split at
+    ceil(frac * maxDoc) — rare terms become REQUIRED, common ones
+    optional (reqopt); absent terms land in the required group and
+    kill the query; local == distributed."""
+    import numpy as np
+
+    from lucene_solr_spark.query.commonterms import common_terms_node
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    dfs = {t: p[0].size for t, p in oracle.postings.items()}
+    max_doc = oracle.doc_count
+    hot = max(dfs, key=dfs.get)
+    rare = min(dfs, key=dfs.get)
+    node = common_terms_node(dfs, max_doc, [hot, rare],
+                             max_term_frequency=0.5)
+    assert node[0] == "reqopt" and node[1] == ("term", rare)
+    ls = LocalSearcher(index_dir)
+    ds = DistributedSearcher(spark, index_dir)
+    a = [(d, np.float32(s)) for d, s in ls.search(node, 10)]
+    b = [(d, np.float32(s)) for d, s in ds.search(node, 10)]
+    assert a == b and len(a) > 0
+    # required group matches define the result set
+    req_docs = set(oracle.postings[rare][0].tolist())
+    assert all(d in req_docs for d, _ in a)
+    # absent term -> required -> empty result
+    node2 = common_terms_node(dfs, max_doc, [hot, "zzzabsentterm"],
+                              max_term_frequency=0.5)
+    assert ls.search(node2, 10) == []
+    # all-common: pure SHOULD group (an OR)
+    node3 = common_terms_node(dfs, max_doc, [hot],
+                              max_term_frequency=1.0 + dfs[hot])
+    assert node3 == ("term", hot)
