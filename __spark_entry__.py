@@ -661,6 +661,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.unionByName(li)
 
+    def classify_knn(spark, sf):
+        # KNearestNeighborClassifier (classification/
+        # KNearestNeighborClassifier.java:126-232): MLT top-k vote,
+        # score(c) = sum_{doc in c}(score/maxScore)/k
+        from lucene_solr_spark.operators.classify import knn_classify_df
+
+        text = (
+            _tbl(spark, sf, "documents")
+            .filter(F.col("doc_id") == 7).collect()[0]["text"]
+        )
+        out = knn_classify_df(_engine64(spark, sf), text, k=10)
+        return out.select(
+            "class", F.round("score", 4).alias("score")
+        )
+
+    def classify_naive_bayes(spark, sf):
+        # SimpleNaiveBayesClassifier (SimpleNaiveBayesClassifier.java:
+        # 151-276): add-1-smoothed per-class log likelihood over the
+        # analyzed input tokens + log prior, all stats from the index
+        from lucene_solr_spark.operators.classify import (
+            naive_bayes_classify_df,
+        )
+
+        idx = _ensure_index(spark, sf)
+        out = naive_bayes_classify_df(
+            spark, idx, "batch query batch pipeline"
+        )
+        return out.select(
+            "class", F.round("score", 4).alias("score")
+        )
+
     def common_terms_topk(spark, sf):
         # CommonTermsQuery (queries/CommonTermsQuery.java): df-split at
         # ceil(0.3 * maxDoc) — rare 'dup' becomes REQUIRED, common
@@ -1325,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged this round).
     return {
         # --- r4 additions + r4-changed code paths -----------------
+        "classify_knn": classify_knn,
+        "classify_naive_bayes": classify_naive_bayes,
         "common_terms_topk": common_terms_topk,
         "sample_random_docs": sample_random_docs,
         "sample_stratified": sample_stratified,
@@ -1811,6 +1844,56 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
   FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
   WHERE tf.term = 'batch'
 ) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "classify_knn": f"""
+WITH {_TOK_CTE},
+src AS (SELECT term, tf FROM tf WHERE doc_id = 7),
+sel AS (
+  SELECT s.term
+  FROM src s JOIN ts USING (term), fs
+  WHERE s.tf >= 2 AND ts.doc_freq >= 5
+  ORDER BY s.tf * (ln((fs.doc_count + 1.0) / (ts.doc_freq + 1.0)) + 1.0)
+           DESC, s.term
+  LIMIT 25
+),
+knn AS (
+  SELECT doc_id, raw FROM (
+    SELECT tf.doc_id, SUM({_BM25_SQL_SCORE}) AS raw
+    FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+    WHERE tf.term IN (SELECT term FROM sel)
+    GROUP BY tf.doc_id
+  ) ORDER BY raw DESC, doc_id LIMIT 10
+),
+mx AS (SELECT MAX(raw) AS m FROM knn)
+SELECT "class", ROUND(score, 4) AS score FROM (
+  SELECT ({_ROLE_SQL}) AS "class", SUM(raw / mx.m) / 10.0 AS score
+  FROM knn, mx GROUP BY 1, mx.m
+) ORDER BY score DESC, "class" ASC
+""",
+        "classify_naive_bayes": f"""
+WITH {_TOK_CTE},
+classes AS (SELECT ({_ROLE_SQL}) AS cl, doc_id FROM documents),
+cstat AS (SELECT cl, COUNT(*) AS df_c FROM classes GROUP BY cl),
+nwc AS (SELECT COUNT(*) AS n FROM documents),
+avgu AS (SELECT SUM(doc_freq) * 1.0 / ANY_VALUE(fs.doc_count) AS a
+         FROM ts, fs),
+toks(term, mult) AS (VALUES ('batch', 2), ('pipeline', 1), ('query', 1)),
+hits AS (
+  SELECT tf.term, c.cl, COUNT(*) AS hits
+  FROM tf JOIN classes c USING (doc_id)
+  WHERE tf.term IN ('batch', 'query', 'pipeline')
+  GROUP BY tf.term, c.cl
+)
+SELECT "class", ROUND(score, 4) AS score FROM (
+  SELECT cs.cl AS "class",
+         LN(cs.df_c * 1.0) - LN((SELECT n FROM nwc) * 1.0)
+         + SUM(tk.mult * LN((COALESCE(h.hits, 0) + 1.0)
+               / (cs.df_c * (SELECT a FROM avgu)
+                  + (SELECT n FROM nwc)))) AS score
+  FROM cstat cs CROSS JOIN toks tk
+  LEFT JOIN hits h ON h.term = tk.term AND h.cl = cs.cl
+  GROUP BY cs.cl, cs.df_c
+) ORDER BY score DESC, "class" ASC
 """,
         "common_terms_topk": f"""
 WITH {_TOK_CTE},

@@ -1,0 +1,125 @@
+"""Index-backed text classifiers — the lucene/classification module.
+
+- ``knn_classify_df`` — KNearestNeighborClassifier
+  (classification/KNearestNeighborClassifier.java:126-232): build a
+  MoreLikeThis query from the input text, take the top-k neighbors,
+  and score each class by the normalized-boost vote
+  score(c) = sum_{doc in c} (score_doc / maxScore) / k
+  (classCounts × classBoosts/count / k collapses to that sum);
+  assignClass = the max row.
+- ``naive_bayes_classify_df`` — SimpleNaiveBayesClassifier
+  (SimpleNaiveBayesClassifier.java:151-276): per class c,
+  score(c) = ln(df(c)) - ln(N)                       [log prior]
+           + sum_w ln((hits(w,c) + 1) / (avgU*df(c) + N))
+  over the analyzed input tokens w (duplicates kept), with
+  hits(w,c) = docs containing w AND class c, N = docs carrying the
+  class field, avgU = sumDocFreq(text)/docCount(text) (:240-249
+  getTextTermFreqForClass).
+
+Spark-first: the class field is a keyword field of THIS index, so
+every statistic is index-derived — hits(w,c) is one pruned decode of
+the input's distinct tokens joined to the docmap class column and
+grouped by (term, class) (one shuffle bounded by tokens × classes);
+priors and avgU are two scalar aggregates on term_stats.  Scoring is
+a class×token grid built with a cross join of two tiny frames (absent
+(w,c) pairs still contribute the +1-smoothed ln(1/den), exactly the
+reference), entirely JVM-side."""
+from __future__ import annotations
+
+import math
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def knn_classify_df(engine, text: str, k: int = 10,
+                    class_field: str = "role",
+                    **mlt_kwargs) -> DataFrame:
+    """DataFrame(class string, score double) sorted score DESC, class
+    ASC; `engine` is a DistributedSearcher."""
+    from ..query.mlt import more_like_this_df
+
+    top = more_like_this_df(engine, text, k=k, **mlt_kwargs)
+    docmap = engine.spark.read.parquet(
+        os.path.join(engine.index_dir, "docmap")
+    ).select("doc_id", F.col(class_field).cast("string").alias("class"))
+    joined = top.join(docmap, "doc_id").select(
+        "class", F.col("score").cast("double").alias("score")
+    )
+    mx = joined.agg(F.max("score").alias("m"))
+    return (
+        joined.crossJoin(F.broadcast(mx))
+        .groupBy("class")
+        .agg((F.sum(F.col("score") / F.col("m")) / F.lit(float(k)))
+             .alias("score"))
+        .orderBy(F.desc("score"), F.asc("class"))
+    )
+
+
+def naive_bayes_classify_df(spark: SparkSession, index_dir: str,
+                            text: str, class_field: str = "role"
+                            ) -> DataFrame:
+    """DataFrame(class string, score double) sorted score DESC, class
+    ASC (assignClass = first row)."""
+    from ..analysis import analyze_query_terms
+    from ..index.builder import read_field_stats
+    from ..query.distributed import DistributedSearcher
+
+    tokens = analyze_query_terms(text)
+    if not tokens:
+        return spark.createDataFrame([], "class string, score double")
+    ds = DistributedSearcher(spark, index_dir)
+    stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    # classes + priors from the keyword field's term stats
+    classes = (
+        stats.filter(F.col("field") == class_field)
+        .select(F.col("term").alias("class"),
+                F.col("doc_freq").alias("df_c"))
+    )
+    fs_c = read_field_stats(index_dir, class_field)
+    n_with_class = float(fs_c["doc_count"] or 0)
+    # avgU = sumDocFreq(text)/docCount(text)
+    fs_t = read_field_stats(index_dir, "text")
+    sum_df = (
+        stats.filter(F.col("field") == "text")
+        .agg(F.sum("doc_freq")).collect()[0][0]
+    )
+    avg_u = float(sum_df) / float(fs_t["doc_count"] or 1)
+    # hits(w, c): pruned decode of the distinct tokens -> class join
+    hits = (
+        ds._decoded_tf_df(sorted(set(tokens)))
+        .join(
+            spark.read.parquet(os.path.join(index_dir, "docmap"))
+            .select("doc_id",
+                    F.col(class_field).cast("string").alias("class")),
+            "doc_id",
+        )
+        .groupBy("term", "class")
+        .agg(F.count("*").alias("hits"))
+    )
+    # token multiset (duplicates kept, :215 "for each word")
+    mult: dict[str, int] = {}
+    for t in tokens:
+        mult[t] = mult.get(t, 0) + 1
+    tok_df = spark.createDataFrame(
+        [(t, m) for t, m in sorted(mult.items())], "term string, mult int"
+    )
+    grid = classes.crossJoin(F.broadcast(tok_df)).join(
+        hits, ["term", "class"], "left"
+    ).withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
+    den = F.col("df_c").cast("double") * F.lit(avg_u) + F.lit(n_with_class)
+    word_ll = F.col("mult").cast("double") * F.log(
+        (F.col("hits").cast("double") + F.lit(1.0)) / den
+    )
+    return (
+        grid.groupBy("class", "df_c")
+        .agg(F.sum(word_ll).alias("ll"))
+        .select(
+            "class",
+            (F.log(F.col("df_c").cast("double"))
+             - F.lit(math.log(n_with_class))
+             + F.col("ll")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("class"))
+    )
