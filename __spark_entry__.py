@@ -1385,9 +1385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_sim_topk": boolean_sim_topk,
         "lmdirichlet_term_topk": lmdirichlet_term_topk,
         "lmjm_term_topk": lmjm_term_topk,
-        "suggest_prefix_topk": suggest_prefix_topk,
-        "highlight_term": highlight_term,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
         # --- scoring/query tier (touched by the _freq_weights and
         #     similarity refactors this round) ------------------------
         "tfidf_term_topk": tfidf_term_topk,
@@ -1414,6 +1411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- index/build tier -------------------------------------
         # --- r2-driver-green, code unchanged; below the 50-cap so
         #     the cap budget goes to r4 additions + the scoring tier
+        "suggest_prefix_topk": suggest_prefix_topk,
+        "highlight_term": highlight_term,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "index_validation": index_validation,
