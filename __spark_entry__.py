@@ -1006,12 +1006,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ml_text_logit(spark, sf):
-        # TextLogitStream protocol (TextLogitStream.java:442-510):
-        # per-iteration shard-sequential SGD + driver weight average;
-        # iterative float training has no ANSI-SQL twin, so this gate
-        # is rows-only (the driver records the weaker check) — the
-        # semantics are locked by pytest (error decreases, confusion
-        # counts partition the corpus, determinism across runs)
+        # TextLogitStream protocol (TextLogitStream.java:442-510,
+        # TextLogisticRegressionQParserPlugin.java:176-228): the gate
+        # runs ONE shard so the whole SGD is a single deterministic
+        # doc_id-ASC fold (shard average == identity) and the DuckDB
+        # twin can replay it exactly with WITH RECURSIVE — one
+        # recursion step per (iteration, doc) SGD update, error and
+        # confusion evaluated with the iteration-incoming weights
+        # (lastSig).  Multi-shard averaging is locked by pytest
+        # (test_text_logit_protocol / _numpy_twin).
         from lucene_solr_spark.operators.ml import (
             features_selection, text_logit,
         )
@@ -1020,7 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sel = features_selection(spark, idx, num_terms=6).collect()
         out = text_logit(
             spark, idx, [r["term_s"] for r in sel],
-            [r["idf_d"] for r in sel], max_iterations=5,
+            [r["idf_d"] for r in sel], max_iterations=5, n_shards=1,
         )
         return out.select(
             "iteration_i", F.round("error_d", 4).alias("error_d"),
@@ -1702,6 +1705,111 @@ ORDER BY raw DESC, doc_id LIMIT 10
 """
 
 
+def _text_logit_oracle_sql(k: int = 6, iters: int = 5,
+                           alpha: float = 0.01) -> str:
+    """Exact DuckDB replay of the single-shard text_logit gate
+    (TextLogisticRegressionQParserPlugin.java:176-228): select the
+    top-k IGain feature terms (same SQL as the ml_features_igain twin,
+    full precision), build per-doc vectors [1, idf_i*(1+ln tf_i)], and
+    fold the per-doc SGD updates with WITH RECURSIVE — one recursion
+    step per (iteration, doc) in doc_id ASC order, dot products as
+    explicit left-to-right sums so the float64 op order matches the
+    engine's np.add.reduce fold bit-for-bit.  Error/confusion use the
+    iteration-INCOMING weights (lastSig, :208-216)."""
+    vec_arms = ",\n          ".join(
+        f"COALESCE(MAX(CASE WHEN f.fi = {i + 1} THEN "
+        f"f.idf_d * (1.0 + LN(tf.tf::DOUBLE)) END), 0.0)"
+        for i in range(k)
+    )
+    ones = ", ".join(["1.0"] * (k + 1))
+
+    def dot(v: str, w: str) -> str:
+        return " + ".join(f"{v}[{i + 1}] * {w}[{i + 1}]"
+                          for i in range(k + 1))
+
+    return f"""
+WITH RECURSIVE {_TOK_CTE},
+labels AS (
+  SELECT doc_id,
+         CASE WHEN ({_ROLE_SQL}) = 'assistant' THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+tot AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(label)::DOUBLE AS npos FROM labels
+),
+pt AS (
+  SELECT term, COUNT(*)::DOUBLE AS df_, SUM(label)::DOUBLE AS xc
+  FROM tf JOIN labels USING (doc_id)
+  GROUP BY term
+),
+igain AS (
+  SELECT term,
+         (CASE WHEN npos/n <= 0.0 OR npos/n >= 1.0 THEN 0.0
+               ELSE -(npos/n)*LN(npos/n) - (1.0-npos/n)*LN(1.0-npos/n) END)
+         - ((df_/n) * (CASE WHEN xc/df_ <= 0.0 OR xc/df_ >= 1.0 THEN 0.0
+                            ELSE -(xc/df_)*LN(xc/df_)
+                                 - (1.0-xc/df_)*LN(1.0-xc/df_) END)
+            + (1.0 - df_/n)
+              * (CASE WHEN (npos-xc)/(n-df_+1.0) <= 0.0
+                           OR (npos-xc)/(n-df_+1.0) >= 1.0 THEN 0.0
+                      ELSE -((npos-xc)/(n-df_+1.0))
+                           * LN((npos-xc)/(n-df_+1.0))
+                           - (1.0-(npos-xc)/(n-df_+1.0))
+                           * LN(1.0-(npos-xc)/(n-df_+1.0)) END))
+         AS score_f,
+         LN(n / (df_ + 1.0)) AS idf_d
+  FROM pt, tot
+),
+feats AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY score_f DESC, term ASC)::INT AS fi,
+         term, idf_d
+  FROM igain ORDER BY score_f DESC, term ASC LIMIT {k}
+),
+dv AS (
+  SELECT tf.doc_id,
+         [1.0,
+          {vec_arms}] AS v
+  FROM tf JOIN feats f ON tf.term = f.term
+  GROUP BY tf.doc_id
+),
+docs AS (
+  SELECT dv.doc_id, l.label::DOUBLE AS y, dv.v,
+         ROW_NUMBER() OVER (ORDER BY dv.doc_id)::INT AS seq
+  FROM dv JOIN labels l USING (doc_id)
+),
+nn AS (SELECT COUNT(*)::INT AS n FROM docs),
+sgd AS (
+  SELECT 1 AS it, 0 AS seq, [{ones}]::DOUBLE[] AS w
+  UNION ALL
+  SELECT CASE WHEN s.seq + 1 = nn.n THEN s.it + 1 ELSE s.it END,
+         CASE WHEN s.seq + 1 = nn.n THEN 0 ELSE s.seq + 1 END,
+         list_transform(list_zip(s.w, d.v), p -> p[1] - {alpha!r}
+           * (1.0 / (1.0 + EXP(-({dot('d.v', 's.w')}))) - d.y) * p[2])
+  FROM sgd s JOIN docs d ON d.seq = s.seq + 1, nn
+  WHERE s.it <= {iters}
+),
+incoming AS (
+  SELECT it AS iteration_i, w FROM sgd WHERE seq = 0 AND it <= {iters}
+),
+ev AS (
+  SELECT i.iteration_i, d.y,
+         1.0 / (1.0 + EXP(-({dot('d.v', 'i.w')}))) AS last
+  FROM incoming i, docs d
+)
+SELECT iteration_i,
+       ROUND(SUM(ABS(last - y)), 4) AS error_d,
+       SUM(CASE WHEN y = 0.0 AND last <  0.5 THEN 1 ELSE 0 END)::INT
+         AS trueNegative_i,
+       SUM(CASE WHEN y = 1.0 AND last >= 0.5 THEN 1 ELSE 0 END)::INT
+         AS truePositive_i,
+       SUM(CASE WHEN y = 1.0 AND last <  0.5 THEN 1 ELSE 0 END)::INT
+         AS falseNegative_i,
+       SUM(CASE WHEN y = 0.0 AND last >= 0.5 THEN 1 ELSE 0 END)::INT
+         AS falsePositive_i
+FROM ev GROUP BY iteration_i ORDER BY iteration_i
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     nb_case = _norm_byte_case_sql()
     return {
@@ -1959,20 +2067,20 @@ SELECT doc_id, ROUND(score, 4) AS score, elevated FROM (
 """,
         "facet_interval_events": """
 SELECT 'low' AS interval,
-       SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS count_rows
+       SUM(CASE WHEN value < 50.0 THEN 1 ELSE 0 END)::BIGINT AS count_rows
 FROM events WHERE value IS NOT NULL
 UNION ALL
 SELECT 'mid', SUM(CASE WHEN value >= 50.0 AND value <= 250.0
-                       THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END)::BIGINT
 FROM events WHERE value IS NOT NULL
 UNION ALL
-SELECT 'high', SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)
+SELECT 'high', SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)::BIGINT
 FROM events WHERE value IS NOT NULL
 UNION ALL
-SELECT 'all', COUNT(*) FROM events WHERE value IS NOT NULL
+SELECT 'all', COUNT(*)::BIGINT FROM events WHERE value IS NOT NULL
 UNION ALL
 SELECT 'overlap', SUM(CASE WHEN value > 100.0 AND value < 300.0
-                           THEN 1 ELSE 0 END)
+                           THEN 1 ELSE 0 END)::BIGINT
 FROM events WHERE value IS NOT NULL
 """,
         "terms_enum_regexp": f"""
@@ -2098,6 +2206,7 @@ UNION ALL
 SELECT node, 0 AS level, NULL::BIGINT, NULL::VARCHAR FROM roots
 ORDER BY level, node
 """,
+        "ml_text_logit": _text_logit_oracle_sql(),
         "ml_features_igain": f"""
 WITH {_TOK_CTE},
 labels AS (

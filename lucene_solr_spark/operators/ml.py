@@ -201,15 +201,16 @@ def text_logit(spark: SparkSession, index_dir: str, terms: list[str],
                                 "fidx": ti.astype("int32"), "fval": w})
 
     fv = tfd.mapInPandas(vecs, "doc_id long, fidx int, fval double")
-    # LEFT join from labels: every collected doc trains, docs with no
-    # feature term get the bias-only vector (the collector builds a
-    # vector for EVERY doc in the result set,
-    # TextLogisticRegressionQParserPlugin.java:176-196)
+    # INNER join from labels: only docs that appear in a selected
+    # feature term's postings get a docVector and train — the
+    # reference populates docVectors from the feature terms' postings
+    # walk, so label-only docs never enter the SGD
+    # (TextLogisticRegressionQParserPlugin.java finish() loop :176-196)
     rows = (
         labels.join(
             fv.groupBy("doc_id")
             .agg(F.collect_list(F.struct("fidx", "fval")).alias("feats")),
-            "doc_id", "left",
+            "doc_id",
         )
         .repartitionByRange(n_shards, "doc_id")
     )
@@ -241,10 +242,15 @@ def text_logit(spark: SparkSession, index_dir: str, terms: list[str],
                     if feats is not None:
                         for f_ in feats:
                             v[int(f_["fidx"]) + 1] = float(f_["fval"])
-                    sig = _sigmoid(float(np.dot(v, w)))
+                    sig = _sigmoid(float(np.add.reduce(v * w)))
                     e = sig - float(y)
-                    last = _sigmoid(float(np.dot(v, w0)))
-                    err += abs(e)
+                    last = _sigmoid(float(np.add.reduce(v * w0)))
+                    # error accumulates |lastSig - outcome| — evaluated
+                    # with the ITERATION-INCOMING weights, exactly like
+                    # the confusion counts (TextLogisticRegression
+                    # QParserPlugin.java finish(): totalError +=
+                    # Math.abs(lastSig - outcome))
+                    err += abs(last - float(y))
                     pred = 1 if last >= _th else 0
                     if y == 1:
                         tp += pred

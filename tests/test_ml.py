@@ -51,12 +51,15 @@ def test_features_selection_matches_twin(spark, index_dir, corpus_pdf,
     assert got["index_i"].tolist() == list(range(1, 11))
 
 
-def test_text_logit_protocol(spark, index_dir):
+def test_text_logit_protocol(spark, index_dir, oracle):
     """TextLogitStream invariants: per-iteration confusion counts
-    partition the corpus, |error| decreases across iterations on this
-    separable-ish outcome, and the whole run is deterministic (fixed
-    partitioning + doc_id-ordered SGD — our documented determinism
-    deviation from the reference's HashMap doc order)."""
+    partition the docVectors population (docs that contain at least
+    one selected feature term — the reference builds docVectors from
+    the feature terms' postings walk, TextLogisticRegression
+    QParserPlugin.java:176-196), error stays bounded by that
+    population, and the whole run is deterministic
+    (fixed partitioning + doc_id-ordered SGD — our documented
+    determinism deviation from the reference's HashMap doc order)."""
     from lucene_solr_spark.operators.ml import (
         features_selection, text_logit,
     )
@@ -69,18 +72,81 @@ def test_text_logit_protocol(spark, index_dir):
     b = text_logit(spark, index_dir, terms, idfs,
                    max_iterations=4).collect()
     assert [r.asDict(True) for r in a] == [r.asDict(True) for r in b]
-    errs = [r["error_d"] for r in a]
-    assert errs[-1] < errs[0]
-    import os
-
-    import pyarrow.dataset as pads
-
-    n_docs = pads.dataset(
-        os.path.join(index_dir, "docmap"), format="parquet",
-        partitioning="hive",
-    ).count_rows()
+    # error is a per-doc |lastSig - outcome| sum, so it is bounded by
+    # the docVectors population; exact trajectory semantics are locked
+    # by test_text_logit_numpy_twin (on this corpus the IGain features
+    # are already predictive at the all-ones init, so the error need
+    # not decrease — the reference metric behaves identically)
+    n_vec_docs = len(
+        {int(d) for t in terms for d in oracle.postings[t][0]}
+    )
+    for r in a:
+        assert 0.0 < r["error_d"] < n_vec_docs
+    assert a[0]["weights"] != a[-1]["weights"]
     for r in a:
         total = (r["trueNegative_i"] + r["truePositive_i"]
                  + r["falseNegative_i"] + r["falsePositive_i"])
-        assert total == n_docs
+        assert total == n_vec_docs
         assert len(r["weights"]) == len(terms) + 1
+
+
+def test_text_logit_numpy_twin(spark, index_dir, corpus_pdf, oracle):
+    """Single-shard text_logit == an independent numpy replay of the
+    reference protocol (TextLogisticRegressionQParserPlugin.java
+    :176-228): docVectors only for docs in a selected feature term's
+    postings, v = [1, idf_i*(1+ln tf_i)], per-doc w -= alpha*(sig-y)*v
+    in doc_id order, error/confusion from the iteration-INCOMING
+    weights (lastSig), threshold 0.5.  This is the same replay the
+    DuckDB gate oracle performs with WITH RECURSIVE."""
+    from lucene_solr_spark.operators.ml import (
+        features_selection, text_logit,
+    )
+
+    sel = features_selection(spark, index_dir, num_terms=5).collect()
+    terms = [r["term_s"] for r in sel]
+    idfs = np.array([r["idf_d"] for r in sel])
+    got = text_logit(spark, index_dir, terms, idfs.tolist(),
+                     max_iterations=3, n_shards=1).toPandas()
+
+    pdf = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(
+        drop=True
+    )
+    y_all = (pdf["role"] == "assistant").to_numpy().astype(np.float64)
+    k = len(terms)
+    vec = {}
+    for i, t in enumerate(terms):
+        docs, tfs = oracle.postings[t]
+        for d, tf in zip(docs, tfs):
+            v = vec.setdefault(int(d), np.zeros(k + 1))
+            v[0] = 1.0
+            v[i + 1] = idfs[i] * (1.0 + np.log(float(tf)))
+    doc_ids = sorted(vec)
+    w = np.ones(k + 1)
+    rows = []
+    for it in range(1, 4):
+        w0 = w.copy()
+        err = 0.0
+        tn = tp = fn = fp = 0
+        for d in doc_ids:
+            v, y = vec[d], y_all[d]
+            sig = 1.0 / (1.0 + np.exp(-float(np.add.reduce(v * w))))
+            last = 1.0 / (1.0 + np.exp(-float(np.add.reduce(v * w0))))
+            err += abs(last - y)
+            pred = 1 if last >= 0.5 else 0
+            if y == 1.0:
+                tp += pred
+                fn += 1 - pred
+            else:
+                fp += pred
+                tn += 1 - pred
+            w = w - 0.01 * (sig - y) * v
+        rows.append((it, err, tn, tp, fn, fp, w.copy()))
+
+    assert got["iteration_i"].tolist() == [r[0] for r in rows]
+    assert np.allclose(got["error_d"], [r[1] for r in rows], rtol=0,
+                       atol=0)
+    for col, j in [("trueNegative_i", 2), ("truePositive_i", 3),
+                   ("falseNegative_i", 4), ("falsePositive_i", 5)]:
+        assert got[col].tolist() == [r[j] for r in rows]
+    for wi, r in zip(got["weights"], rows):
+        assert np.array_equal(np.asarray(wi), r[6])
