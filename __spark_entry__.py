@@ -133,6 +133,29 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _ensure_chain_index(spark: SparkSession, sf_dir: str) -> str:
+    """Gate index with a CONFIGURED analyzer chain (the extension
+    point): index-time synonym map {'query': ['queries']} + the
+    EnglishMinimalStem filter (en/EnglishMinimalStemFilter.java), so
+    the injected plural stems back to 'query' — doubling its tf and
+    growing dl by tf('query').  The manifest records the chain
+    (schema_version 4) and searchers re-create it for query atoms."""
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "-chain"
+    idx = os.path.join(_GATE_ROOT, tag)
+    from lucene_solr_spark.index import store
+
+    if not store.stage_committed(idx, "lineage"):
+        build_index(
+            spark,
+            _documents_as_transcripts(spark, sf_dir),
+            idx,
+            BuildConfig(n_buckets=4, k1=K1, b=B, positions=True,
+                        stem="minimal",
+                        synonyms={"query": ["queries"]}),
+        )
+    return idx
+
+
 def _decoded_postings(spark: SparkSession, idx: str, terms: list[str],
                       positions: bool = False) -> DataFrame:
     """DF(term, doc_id, tf int[, pos array<long>]) decoded from the index
@@ -1349,6 +1372,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, "event_type", "hour", {"count": []}, limit=3, sub_limit=2
         ).select("event_type", "hour", "parent_count_rows", "count_rows")
 
+    def dismax_topk(spark, sf):
+        # DisjunctionMaxQuery (search/DisjunctionMaxQuery.java:47-63,
+        # DisjunctionMaxScorer.java:49-61): per-doc score =
+        # max(clause scores) + tie * (sum - max) over three term
+        # disjuncts, tie=0.3 — one hash aggregate over the pruned
+        # postings union, same shuffle shape as a plain OR
+        from lucene_solr_spark.query.dismax import dismax_node
+
+        node = dismax_node(
+            [("term", "batch"), ("term", "query"), ("term", "dup")], 0.3
+        )
+        return (
+            _engine64(spark, sf)
+            .search_df(node, 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def edismax_topk(spark, sf):
+        # (Extended)DisMax surface (DisMaxQParser.java:60-120,
+        # ExtendedDismaxQParser.java:65 qf boosts): each user word
+        # becomes a DisjunctionMax across qf fields with their boosts
+        # — "batch" scores via the text field (role:batch matches
+        # nothing), "assistant" via the boosted keyword field
+        # (omitNorms constant BM25), composed with mm=1 (OR)
+        from lucene_solr_spark.query.dismax import edismax_node
+
+        node = edismax_node(
+            "batch assistant", qf={"text": 1.0, "role": 2.0},
+            tie=0.2, mm=1,
+        )
+        return (
+            _engine64(spark, sf)
+            .search_df(node, 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def classify_perceptron(spark, sf):
+        # BooleanPerceptronClassifier (classification/
+        # BooleanPerceptronClassifier.java:59-221): integer perceptron
+        # over per-term totalTermFreq-initialized weights, threshold =
+        # sumDocFreq/2, trained doc_id-ASC with batchSize=1, then every
+        # stored doc classified by output >= threshold with score =
+        # 1 - exp(-|threshold-output|/threshold).  All-integer weight
+        # arithmetic, so the recursive DuckDB twin is bit-exact.
+        from lucene_solr_spark.operators.classify import (
+            perceptron_classify_df, perceptron_train,
+        )
+
+        idx = _ensure_index(spark, sf)
+        w, th = perceptron_train(spark, idx)
+        return (
+            perceptron_classify_df(spark, idx, w, th)
+            .select("doc_id", "assigned",
+                    F.round("score", 6).alias("score"))
+            .orderBy("doc_id")
+        )
+
+    def analyzer_chain_topk(spark, sf):
+        # analyzer extension point end-to-end (PorterStemFilter.java
+        # :56 role via the SQL-expressible EnglishMinimalStemmer +
+        # SynonymGraphFilter.java:81 single-token subset): the index is
+        # built with synonyms {'query': ['queries']} THEN minimal
+        # stemming, so every 'query' token double-counts and dl grows;
+        # the manifest-recorded chain re-analyzes the query atom
+        # 'queries' -> 'query'.  BM25 over the modified stats must
+        # match the SQL twin that injects the same duplicate tokens.
+        from lucene_solr_spark.query.distributed import DistributedSearcher
+
+        idx = _ensure_chain_index(spark, sf)
+        ds = DistributedSearcher(spark, idx, dtype="float64")
+        return (
+            ds.search_df("queries", 10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def facet_pivot_counts(spark, sf):
+        # facet.pivot (handler/component/PivotFacetProcessor.java:53):
+        # 3-level decision-tree facet over lineitem
+        # (returnflag -> linestatus -> shipmode), top-2 per level
+        # within the surviving parent tuple, count desc / value asc —
+        # one layered agg per LEVEL (3 shuffles), never per bucket
+        from lucene_solr_spark.operators.streams import facet_pivot
+
+        li = _tbl(spark, sf, "lineitem").select(
+            "l_returnflag", "l_linestatus",
+            F.year("l_shipdate").cast("string").alias("ship_year"),
+        )
+        return facet_pivot(
+            li, ["l_returnflag", "l_linestatus", "ship_year"], [2, 2, 2]
+        )
+
+    def rescore_topk(spark, sf):
+        # QueryRescorer (search/QueryRescorer.java:51-140 + the
+        # :165-177 sugar combine): first-pass top-50 of "batch OR
+        # query", second pass scores "dup" restricted to those hits
+        # (broadcast probe), combined = first + 2.0*second when the
+        # second query matches, re-sorted (score desc, docID asc),
+        # top-10 — the LTR/model-rescore discipline
+        return (
+            _engine64(spark, sf)
+            .rescore_df("batch OR query", "dup", weight=2.0, n=50, k=10)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
     # ORDER MATTERS: the driver checks the FIRST 50 entries per round
     # (observed r3 — positions 51+ keep their last green record but get
     # no fresh row).  Discipline: newest / this-round-changed gates
@@ -1358,62 +1485,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # agg_percentile_distinct — r3-green, operators/streams.py
     # unchanged this round).
     return {
-        # --- r4 additions + r4-changed code paths -----------------
-        "classify_knn": classify_knn,
-        "classify_naive_bayes": classify_naive_bayes,
-        "common_terms_topk": common_terms_topk,
-        "sample_random_docs": sample_random_docs,
-        "sample_stratified": sample_stratified,
-        "function_boost_topk": function_boost_topk,
-        "query_elevation": query_elevation,
+        # ORDER = the r5 rotation schedule.  The driver checks the
+        # FIRST 50 entries; a gate may sit below the cap ONLY with a
+        # green row in a committed CORRECTNESS file (VERDICT r4 item 3
+        # — no more rotation decisions on uncommitted claims).
+        # Positions 1-50: (a) the five r5 additions, (b) the two r4
+        # red rows (ml_text_logit now has its recursive twin,
+        # facet_interval_events its ::BIGINT casts), (c)
+        # suggest_prefix_topk (NEVER driver-checked before r5) and
+        # every gate without an r4 green row (r2/r3 vintage), (d) the
+        # five r4-green gates whose code changed this round
+        # (commonterms rewrite, vectorized exact-phrase kernel,
+        # elevation liveness).  Positions 51+: r4-green and code-
+        # unchanged this round (CORRECTNESS_r04.json).
+        "dismax_topk": dismax_topk,
+        "edismax_topk": edismax_topk,
+        "rescore_topk": rescore_topk,
+        "classify_perceptron": classify_perceptron,
+        "analyzer_chain_topk": analyzer_chain_topk,
+        "facet_pivot_counts": facet_pivot_counts,
         "facet_interval_events": facet_interval_events,
-        "terms_enum_regexp": terms_enum_regexp,
-        "synonym_topk": synonym_topk,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "streaming_dedup_keys": streaming_dedup_keys,
-        "facet_query_counts": facet_query_counts,
-        "realtime_get": realtime_get,
-        "collapse_expand": collapse_expand,
-        "graph_shortest_path": graph_shortest_path,
-        "graph_gather_nodes": graph_gather_nodes,
-        "ml_features_igain": ml_features_igain,
         "ml_text_logit": ml_text_logit,
-        "stream_outer_hash_join": stream_outer_hash_join,
-        "suggest_infix_topk": suggest_infix_topk,
-        "facet_range_events": facet_range_events,
-        "dfr_term_topk": dfr_term_topk,
-        "ib_term_topk": ib_term_topk,
-        "dfi_term_topk": dfi_term_topk,
-        "axiomatic_term_topk": axiomatic_term_topk,
-        "boolean_sim_topk": boolean_sim_topk,
-        "lmdirichlet_term_topk": lmdirichlet_term_topk,
-        "lmjm_term_topk": lmjm_term_topk,
-        # --- scoring/query tier (touched by the _freq_weights and
-        #     similarity refactors this round) ------------------------
-        "tfidf_term_topk": tfidf_term_topk,
-        "bm25_term_hi": bm25_term_hi,
-        "bm25_term_rare": bm25_term_rare,
-        "bm25_and": bm25_and,
-        "bm25_or": bm25_or,
-        "bm25_mixed": bm25_mixed,
-        "bm25_msm": bm25_msm,
-        "phrase_query": phrase_query,
-        "phrase_sloppy": phrase_sloppy,
-        "phrase_sloppy_repeats": phrase_sloppy_repeats,
-        "spellcheck_suggest": spellcheck_suggest,
-        "mlt_topk": mlt_topk,
-        "surround_membership": surround_membership,
-        "span_near_membership": span_near_membership,
-        "span_within_membership": span_within_membership,
-        "span_field_filter": span_field_filter,
-        "prefix_expand": prefix_expand,
-        "term_in_set_count": term_in_set_count,
-        "ts_range_count": ts_range_count,
-        "and_membership": and_membership,
-        "field_filter_bm25": field_filter_bm25,
-        # --- index/build tier -------------------------------------
-        # --- r2-driver-green, code unchanged; below the 50-cap so
-        #     the cap budget goes to r4 additions + the scoring tier
         "suggest_prefix_topk": suggest_prefix_topk,
         "highlight_term": highlight_term,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1432,7 +1524,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": doc_lengths,
         "doc_norm_bytes": doc_norm_bytes,
         "facet_top_terms": facet_top_terms,
-        # --- LLM-pipeline operators --------------------------------
         "dedup_exact": dedup_exact,
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1442,7 +1533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "stream_facet": stream_facet,
         "stream_group_topk": stream_group_topk,
-        # ---------------- position 51+ below this line ------------
         "agg_percentile_distinct": agg_percentile_distinct,
         "stream_select_having": stream_select_having,
         "stream_rollup": stream_rollup,
@@ -1454,6 +1544,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_complement": stream_complement,
         "stream_inner_join": stream_inner_join,
         "stream_hash_join_fetch": stream_hash_join_fetch,
+        "common_terms_topk": common_terms_topk,
+        "phrase_query": phrase_query,
+        "phrase_sloppy": phrase_sloppy,
+        "query_elevation": query_elevation,
+        # ---------------- position 51+ below this line ------------
+        "phrase_sloppy_repeats": phrase_sloppy_repeats,
+        "classify_knn": classify_knn,
+        "classify_naive_bayes": classify_naive_bayes,
+        "sample_random_docs": sample_random_docs,
+        "sample_stratified": sample_stratified,
+        "function_boost_topk": function_boost_topk,
+        "terms_enum_regexp": terms_enum_regexp,
+        "synonym_topk": synonym_topk,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_dedup_keys": streaming_dedup_keys,
+        "facet_query_counts": facet_query_counts,
+        "realtime_get": realtime_get,
+        "collapse_expand": collapse_expand,
+        "graph_shortest_path": graph_shortest_path,
+        "graph_gather_nodes": graph_gather_nodes,
+        "ml_features_igain": ml_features_igain,
+        "stream_outer_hash_join": stream_outer_hash_join,
+        "suggest_infix_topk": suggest_infix_topk,
+        "facet_range_events": facet_range_events,
+        "dfr_term_topk": dfr_term_topk,
+        "ib_term_topk": ib_term_topk,
+        "dfi_term_topk": dfi_term_topk,
+        "axiomatic_term_topk": axiomatic_term_topk,
+        "boolean_sim_topk": boolean_sim_topk,
+        "lmdirichlet_term_topk": lmdirichlet_term_topk,
+        "lmjm_term_topk": lmjm_term_topk,
+        "tfidf_term_topk": tfidf_term_topk,
+        "bm25_term_hi": bm25_term_hi,
+        "bm25_term_rare": bm25_term_rare,
+        "bm25_and": bm25_and,
+        "bm25_or": bm25_or,
+        "bm25_mixed": bm25_mixed,
+        "bm25_msm": bm25_msm,
+        "spellcheck_suggest": spellcheck_suggest,
+        "mlt_topk": mlt_topk,
+        "surround_membership": surround_membership,
+        "span_near_membership": span_near_membership,
+        "span_within_membership": span_within_membership,
+        "span_field_filter": span_field_filter,
+        "prefix_expand": prefix_expand,
+        "term_in_set_count": term_in_set_count,
+        "ts_range_count": ts_range_count,
+        "and_membership": and_membership,
+        "field_filter_bm25": field_filter_bm25,
     }
 
 
@@ -1702,6 +1841,68 @@ m AS (
 )
 SELECT doc_id, ROUND(raw, 4) AS score FROM m WHERE nm >= 2
 ORDER BY raw DESC, doc_id LIMIT 10
+"""
+
+
+def _perceptron_oracle_sql() -> str:
+    """Recursive DuckDB replay of the classify_perceptron gate
+    (BooleanPerceptronClassifier.java:110-221): dense per-doc tf
+    vectors over the term-sorted vocabulary, one recursion step per
+    doc in doc_id order, all-integer weight updates (modifier =
+    correct - assigned), then the final-weights classification pass.
+    batchSize=1 means the read snapshot always equals the weights, so
+    the fold is a pure recursion."""
+    return f"""
+WITH RECURSIVE {_TOK_CTE},
+ranks AS (
+  SELECT term, ttf, ROW_NUMBER() OVER (ORDER BY term)::INT AS r FROM ts
+),
+thr AS (SELECT SUM(doc_freq) / 2.0 AS th FROM ts),
+grid AS (
+  SELECT d.doc_id, r.r, COALESCE(tf.tf, 0)::BIGINT AS tf
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN ranks r
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = r.term
+),
+dvec AS (SELECT doc_id, list(tf ORDER BY r) AS tfv FROM grid
+         GROUP BY doc_id),
+docs AS (
+  SELECT doc_id, tfv,
+         CASE WHEN ({_ROLE_SQL}) = 'assistant' THEN 1 ELSE 0 END
+           AS correct,
+         ROW_NUMBER() OVER (ORDER BY doc_id)::INT AS seq
+  FROM dvec
+),
+nn AS (SELECT COUNT(*)::INT AS n FROM docs),
+w0 AS (SELECT list(ttf ORDER BY term) AS w FROM ts),
+train AS (
+  SELECT 0 AS seq, (SELECT w FROM w0) AS w
+  UNION ALL
+  SELECT s.seq + 1,
+         CASE WHEN (CASE WHEN list_sum(list_transform(list_zip(d.tfv, s.w),
+                          p -> p[1] * p[2]))::DOUBLE >= thr.th
+                    THEN 1 ELSE 0 END) = d.correct
+              THEN s.w
+              ELSE list_transform(list_zip(s.w, d.tfv),
+                     p -> p[1] + (d.correct
+                       - (CASE WHEN list_sum(list_transform(
+                            list_zip(d.tfv, s.w),
+                            q -> q[1] * q[2]))::DOUBLE >= thr.th
+                          THEN 1 ELSE 0 END)) * p[2])
+         END
+  FROM train s JOIN docs d ON d.seq = s.seq + 1, thr
+  WHERE s.seq < (SELECT n FROM nn)
+),
+fw AS (SELECT w FROM train, nn WHERE seq = nn.n),
+outp AS (
+  SELECT d.doc_id,
+         list_sum(list_transform(list_zip(d.tfv, fw.w),
+                  p -> p[1] * p[2]))::DOUBLE AS o
+  FROM docs d, fw
+)
+SELECT doc_id, (o >= thr.th) AS assigned,
+       ROUND(1.0 - EXP(-ABS(thr.th - o) / thr.th), 6) AS score
+FROM outp, thr ORDER BY doc_id
 """
 
 
@@ -2207,6 +2408,7 @@ SELECT node, 0 AS level, NULL::BIGINT, NULL::VARCHAR FROM roots
 ORDER BY level, node
 """,
         "ml_text_logit": _text_logit_oracle_sql(),
+        "classify_perceptron": _perceptron_oracle_sql(),
         "ml_features_igain": f"""
 WITH {_TOK_CTE},
 labels AS (
@@ -2288,6 +2490,147 @@ SELECT doc_id, ROUND(raw, 4) AS score FROM (
   WHERE tf.term IN ('batch', 'dup')
   GROUP BY tf.doc_id
 ) ORDER BY raw DESC, doc_id LIMIT 10
+""",
+        "dismax_topk": f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT tf.term, tf.doc_id, {_BM25_SQL_SCORE} AS s
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term IN ('batch', 'query', 'dup')
+),
+a AS (SELECT doc_id, s FROM scored WHERE term = 'batch'),
+b AS (SELECT doc_id, s FROM scored WHERE term = 'query'),
+c AS (SELECT doc_id, s FROM scored WHERE term = 'dup'),
+m AS (
+  SELECT COALESCE(a.doc_id, b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(a.s, 0.0) + COALESCE(b.s, 0.0) + COALESCE(c.s, 0.0)
+           AS sm,
+         GREATEST(a.s, b.s, c.s) AS mx
+  FROM a
+  FULL OUTER JOIN b ON a.doc_id = b.doc_id
+  FULL OUTER JOIN c ON COALESCE(a.doc_id, b.doc_id) = c.doc_id
+)
+SELECT doc_id, ROUND(mx + (sm - mx) * 0.3, 4) AS score FROM m
+ORDER BY mx + (sm - mx) * 0.3 DESC, doc_id LIMIT 10
+""",
+        "analyzer_chain_topk": f"""
+WITH tokraw AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOPS_SQL})
+),
+tok AS (
+  SELECT doc_id, term FROM tokraw
+  UNION ALL
+  SELECT doc_id, term FROM tokraw WHERE term = 'query'
+),
+tf AS (SELECT doc_id, term, COUNT(*)::INT AS tf FROM tok
+       GROUP BY doc_id, term),
+dls AS (
+  SELECT d.doc_id, COALESCE(x.dl, 0)::INT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id) x
+    USING (doc_id)
+),
+fs AS (
+  SELECT SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END)::BIGINT AS doc_count,
+         SUM(dl)::BIGINT AS sttf
+  FROM dls
+),
+ts AS (SELECT term, COUNT(*)::BIGINT AS doc_freq, SUM(tf)::BIGINT AS ttf
+       FROM tf GROUP BY term)
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT tf.doc_id, {_BM25_SQL_SCORE} AS score
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'query'
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "facet_pivot_counts": """
+WITH l0 AS (
+  SELECT l_returnflag, COUNT(*)::BIGINT AS count_rows FROM lineitem
+  GROUP BY 1 ORDER BY count_rows DESC, l_returnflag LIMIT 2
+),
+a1 AS (
+  SELECT li.l_returnflag, li.l_linestatus, COUNT(*)::BIGINT AS count_rows
+  FROM lineitem li JOIN l0 USING (l_returnflag)
+  GROUP BY 1, 2
+),
+l1 AS (
+  SELECT l_returnflag, l_linestatus, count_rows FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             ORDER BY count_rows DESC, l_linestatus) AS rk
+    FROM a1
+  ) WHERE rk <= 2
+),
+a2 AS (
+  SELECT li.l_returnflag, li.l_linestatus,
+         CAST(year(li.l_shipdate) AS VARCHAR) AS ship_year,
+         COUNT(*)::BIGINT AS count_rows
+  FROM lineitem li JOIN l1 USING (l_returnflag, l_linestatus)
+  GROUP BY 1, 2, 3
+),
+l2 AS (
+  SELECT l_returnflag, l_linestatus, ship_year, count_rows FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY l_returnflag, l_linestatus
+             ORDER BY count_rows DESC, ship_year) AS rk
+    FROM a2
+  ) WHERE rk <= 2
+)
+SELECT 0 AS level, l_returnflag, NULL AS l_linestatus,
+       NULL AS ship_year, count_rows FROM l0
+UNION ALL
+SELECT 1, l_returnflag, l_linestatus, NULL, count_rows FROM l1
+UNION ALL
+SELECT 2, l_returnflag, l_linestatus, ship_year, count_rows FROM l2
+ORDER BY l_returnflag, l_linestatus NULLS LAST, ship_year NULLS LAST,
+         level
+""",
+        "rescore_topk": f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT tf.term, tf.doc_id, {_BM25_SQL_SCORE} AS s
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term IN ('batch', 'query', 'dup')
+),
+orq AS (
+  SELECT doc_id, SUM(s) AS s1 FROM scored
+  WHERE term IN ('batch', 'query') GROUP BY doc_id
+),
+first AS (SELECT doc_id, s1 FROM orq ORDER BY s1 DESC, doc_id LIMIT 50),
+sec AS (SELECT doc_id, s AS s2 FROM scored WHERE term = 'dup')
+SELECT doc_id,
+       ROUND(s1 + 2.0 * COALESCE(s2, 0.0), 4) AS score
+FROM first LEFT JOIN sec USING (doc_id)
+ORDER BY s1 + 2.0 * COALESCE(s2, 0.0) DESC, doc_id LIMIT 10
+""",
+        "edismax_topk": f"""
+WITH {_TOK_CTE},
+t1 AS (
+  SELECT tf.doc_id, {_BM25_SQL_SCORE} AS s
+  FROM tf JOIN ts USING (term) JOIN dls USING (doc_id), fs
+  WHERE tf.term = 'batch'
+),
+rstats AS (
+  SELECT COUNT(*)::DOUBLE AS dc,
+         SUM(CASE WHEN ({_ROLE_SQL}) = 'assistant'
+                  THEN 1 ELSE 0 END)::DOUBLE AS df
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id,
+         ln(1.0 + (dc - df + 0.5) / (df + 0.5))
+           * {K1 + 1.0} * 1.0 / {1.0 + K1} * 2.0 AS s
+  FROM documents, rstats WHERE ({_ROLE_SQL}) = 'assistant'
+),
+m AS (
+  SELECT COALESCE(t1.doc_id, t2.doc_id) AS doc_id,
+         COALESCE(t1.s, 0.0) + COALESCE(t2.s, 0.0) AS raw
+  FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id
+)
+SELECT doc_id, ROUND(raw, 4) AS score FROM m
+ORDER BY raw DESC, doc_id LIMIT 10
 """,
         "bm25_mixed": f"""
 WITH {_TOK_CTE},

@@ -140,3 +140,114 @@ def analyze_query_terms(query_text: str) -> list[str]:
     """Analyze one query atom (QueryParser runs the field analyzer on
     query text; stopwords vanish — the all-stopword query matches nothing)."""
     return analyze(query_text)
+
+
+# ------------------------------------------- analyzer extension point
+#
+# The reference's per-field analyzer discipline (Analyzer /
+# TokenFilter chains): a BuildConfig can swap in a configured chain,
+# the manifest records it, and searchers re-create the SAME chain for
+# query analysis.  Options mirror the common reference filters:
+#
+# - ascii_fold: ASCIIFoldingFilter subset
+#   (analysis/common/.../miscellaneous/ASCIIFoldingFilter.java) —
+#   implemented as NFKD-decompose + strip combining marks (covers the
+#   accented-Latin block; the reference's exhaustive switch also maps
+#   typographic symbols we don't index).  Runs after lowercase.
+# - synonyms: index-time single-token synonym map
+#   (analysis/common/.../synonym/SynonymGraphFilter.java:81, the
+#   single-token subset — no multi-word graphs): each mapped token
+#   ALSO emits its synonyms at the same position (posIncrement 0);
+#   every emitted token counts toward the field length, exactly like
+#   invertState.length++ per token.
+# - stem: 'porter' (en/PorterStemFilter.java:56 — stem.porter_stem) or
+#   'minimal' (en/EnglishMinimalStemFilter.java — the S-stemmer).
+#   Stemming runs LAST (EnglishAnalyzer chain order: stop before
+#   Porter), after synonym insertion.
+
+import unicodedata
+from dataclasses import dataclass
+
+
+def ascii_fold(token: str) -> str:
+    if token.isascii():
+        return token
+    out = unicodedata.normalize("NFKD", token)
+    return "".join(c for c in out if not unicodedata.combining(c))
+
+
+@dataclass(frozen=True)
+class AnalyzerOptions:
+    stem: str | None = None          # None | 'porter' | 'minimal'
+    synonyms: tuple = ()             # ((term, (syn, ...)), ...) sorted
+    ascii_fold: bool = False
+
+    @staticmethod
+    def make(stem: str | None = None, synonyms: dict | None = None,
+             ascii_fold: bool = False) -> "AnalyzerOptions":
+        assert stem in (None, "porter", "minimal")
+        syn = tuple(sorted(
+            (k, tuple(sorted(v))) for k, v in (synonyms or {}).items()
+        ))
+        return AnalyzerOptions(stem=stem, synonyms=syn,
+                               ascii_fold=ascii_fold)
+
+    def is_default(self) -> bool:
+        return (self.stem is None and not self.synonyms
+                and not self.ascii_fold)
+
+    def to_manifest(self) -> dict:
+        return {"stem": self.stem,
+                "synonyms": [[k, list(v)] for k, v in self.synonyms],
+                "ascii_fold": self.ascii_fold}
+
+    @staticmethod
+    def from_manifest(d: dict | None) -> "AnalyzerOptions":
+        if not d:
+            return AnalyzerOptions()
+        return AnalyzerOptions.make(
+            stem=d.get("stem"),
+            synonyms={k: list(v) for k, v in d.get("synonyms", [])},
+            ascii_fold=bool(d.get("ascii_fold")),
+        )
+
+
+def analyze_detailed_with(text: str, opts: AnalyzerOptions
+                          ) -> tuple[list[str], list[int]]:
+    """Configured chain with positions: tokenize -> 255-drop ->
+    lowercase -> [fold] -> stop -> [synonym insert @posIncr 0] ->
+    [stem].  Default options == analyze_detailed exactly."""
+    if opts.is_default():
+        return analyze_detailed(text)
+    from .stem import english_minimal_stem, porter_stem
+
+    stem_fn = {"porter": porter_stem, "minimal": english_minimal_stem,
+               None: None}[opts.stem]
+    syn = {k: v for k, v in opts.synonyms}
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = -1
+    skipped = 0
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            skipped += 1
+            continue
+        low = tok.lower()
+        if opts.ascii_fold:
+            low = ascii_fold(low)
+        if low in ENGLISH_STOP_WORDS:
+            skipped += 1
+            continue
+        pos += skipped + 1
+        skipped = 0
+        emitted = [low] + list(syn.get(low, ()))
+        for t in emitted:
+            terms.append(stem_fn(t) if stem_fn else t)
+            positions.append(pos)
+    return terms, positions
+
+
+def analyze_with(text: str, opts: AnalyzerOptions) -> list[str]:
+    if opts.is_default():
+        return analyze(text)
+    return analyze_detailed_with(text, opts)[0]

@@ -124,12 +124,43 @@ class BuildConfig:
     positions: bool = False
     k1: float = 1.2
     b: float = 0.75
+    #: analyzer extension point (analysis/analyzer.py AnalyzerOptions):
+    #: optional stemmer ('porter' per en/PorterStemFilter.java:56,
+    #: 'minimal' per en/EnglishMinimalStemFilter.java), index-time
+    #: single-token synonym map (synonym/SynonymGraphFilter.java:81
+    #: subset), ASCII folding.  Recorded in the manifest so searchers
+    #: re-create the same chain for query analysis; schema_version
+    #: bumps to 4 for any non-default chain.
+    stem: str | None = None
+    synonyms: dict | None = None
+    ascii_fold: bool = False
+
+    def analyzer_opts(self):
+        from ..analysis.analyzer import AnalyzerOptions
+
+        return AnalyzerOptions.make(
+            stem=self.stem, synonyms=self.synonyms,
+            ascii_fold=self.ascii_fold,
+        )
 
 
 # --------------------------------------------------------------- stage 1
 
 
-def _docmap_factory(top_terms: int = 4096):
+def _manifest_params(cfg: "BuildConfig") -> dict:
+    opts = cfg.analyzer_opts()
+    params = {
+        "n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
+        "salt_df_threshold": cfg.salt_df_threshold,
+        "positions": cfg.positions,
+        "schema_version": 3 if opts.is_default() else 4,
+    }
+    if not opts.is_default():
+        params["analyzer"] = opts.to_manifest()
+    return params
+
+
+def _docmap_factory(top_terms: int = 4096, an_opts=None):
     """mapInPandas kernel: per-doc analysis stats, no token materialization.
 
     Rows arrive sorted by (conv_id, turn_idx) within a range partition;
@@ -154,8 +185,9 @@ def _docmap_factory(top_terms: int = 4096):
 
         from pyspark import TaskContext
 
-        from ..analysis.analyzer import analyze
+        from ..analysis.analyzer import AnalyzerOptions, analyze_with
 
+        opts = an_opts or AnalyzerOptions()
         pid = TaskContext.get().partitionId()
         offset = 0
         term_df: Counter = Counter()  # keyed (field, term)
@@ -164,7 +196,7 @@ def _docmap_factory(top_terms: int = 4096):
             texts = pdf["text"].tolist()
             dls = np.zeros(n, dtype=np.int64)
             for i, t in enumerate(texts):
-                toks = analyze(t or "")
+                toks = analyze_with(t or "", opts)
                 dls[i] = len(toks)
                 term_df.update(("text", tok) for tok in set(toks))
             for kf in KEYWORD_FIELDS:
@@ -237,7 +269,9 @@ def _stage_docmap(spark: SparkSession, transcripts: DataFrame, index_dir: str,
     sorted_df = transcripts.repartitionByRange(
         parts, F.col("conv_id"), F.col("turn_idx")
     ).sortWithinPartitions("conv_id", "turn_idx")
-    stream = sorted_df.mapInPandas(_docmap_factory(), DOCMAP_STAGE_SCHEMA)
+    stream = sorted_df.mapInPandas(
+        _docmap_factory(an_opts=cfg.analyzer_opts()), DOCMAP_STAGE_SCHEMA
+    )
     stream.persist(StorageLevel.MEMORY_AND_DISK)
     lite = stream.filter(F.col("conv_id").isNotNull())
     try:
@@ -409,7 +443,7 @@ def _hot_terms_from_sidecar(sidecar_dir: str, cfg: BuildConfig) -> dict[str, int
 
 
 def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
-                              positions: bool = False):
+                              positions: bool = False, an_opts=None):
     """mapInPandas kernel: the DWPT analogue.  Tokenizes + inverts the
     whole input partition in RAM, then flushes per-(field, term, salt)
     ENCODED chunk blocks — so the term shuffle moves compressed postings,
@@ -424,8 +458,12 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
     str-accessor passes cost more than the plain loop they replace.
     `analysis.analyzer.analyze_batch` (kept, parity-tested) documents
     the attempt; the loop below is the measured winner."""
-    from ..analysis.analyzer import analyze, analyze_detailed
+    from ..analysis.analyzer import (
+        AnalyzerOptions, analyze_detailed_with, analyze_with,
+    )
     from .codec import encode_positions
+
+    an_opts = an_opts or AnalyzerOptions()
 
     def _emit(rows, field, term, docs, tfs, norms, poslists):
         """Salt-split + block-encode one (field, term) posting list;
@@ -485,14 +523,14 @@ def _partial_postings_factory(hot_salts: dict[str, int], max_doc: int,
                     ent[1].append(1)
                     ent[2].append(0)
                 if positions:
-                    toks, poss = analyze_detailed(text or "")
+                    toks, poss = analyze_detailed_with(text or "", an_opts)
                     if not toks:
                         continue
                     uniq: dict[str, list] = {}
                     for t, p in zip(toks, poss):
                         uniq.setdefault(t, []).append(p)
                 else:
-                    toks = analyze(text or "")
+                    toks = analyze_with(text or "", an_opts)
                     if not toks:
                         continue
                     uniq = {}
@@ -628,7 +666,8 @@ def _stage_postings(spark: SparkSession, index_dir: str, cfg: BuildConfig,
         os.path.join(index_dir, "docmap", f"seg={seg}")
     ).select("doc_id", "norm_byte", "text", *KEYWORD_FIELDS)
     chunks = docs.mapInPandas(
-        _partial_postings_factory(hot_salts, max_doc, cfg.positions),
+        _partial_postings_factory(hot_salts, max_doc, cfg.positions,
+                                  cfg.analyzer_opts()),
         CHUNK_SCHEMA,
     )
     merge = _merge_group_factory(cfg.n_buckets, cfg.positions)
@@ -719,9 +758,7 @@ def build_index(spark: SparkSession, transcripts: DataFrame, index_dir: str,
     t0 = time.time()
     store.set_params(
         index_dir,
-        {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
-         "salt_df_threshold": cfg.salt_df_threshold,
-         "positions": cfg.positions, "schema_version": 3},
+        _manifest_params(cfg),
     )
     if not (resume and store.stage_committed(index_dir, "docmap")):
         _stage_docmap(spark, transcripts, index_dir, cfg, seg=0, doc_base=0)
@@ -926,9 +963,7 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     store.set_params(
         out_dir,
-        {"n_buckets": cfg.n_buckets, "k1": cfg.k1, "b": cfg.b,
-         "salt_df_threshold": cfg.salt_df_threshold,
-         "positions": cfg.positions, "schema_version": 3},
+        _manifest_params(cfg),
     )
     from .deletes import read_deleted
 

@@ -250,6 +250,65 @@ def subfacet(df: DataFrame, by: str, sub: str,
     return sub_top.join(F.broadcast(pm), [by])
 
 
+def facet_pivot(df: DataFrame, fields: Sequence[str],
+                limits: Sequence[int]) -> DataFrame:
+    """facet.pivot (solr/core/.../handler/component/
+    PivotFacetProcessor.java:53 + PivotFacetHelper): arbitrary-depth
+    decision-tree facet — at each level, the top-`limits[i]` values of
+    `fields[i]` WITHIN each surviving parent tuple, counts descending
+    then value ascending (Solr's count/index tie order).
+
+    Spark-first shape: one grouped aggregation per LEVEL (never per
+    bucket) — level i aggregates on fields[:i+1], semi-joins to the
+    surviving level-(i-1) tuples (broadcast: at most prod(limits[:i])
+    rows, configuration-sized), and window-ranks within the parent
+    tuple.  Depth-many shuffles total, independent of bucket fan-out —
+    the reference's per-pivot recursion re-expressed as layered aggs.
+
+    Returns the flattened pivot tree: (level int, <field> columns with
+    NULL below the row's level, count_rows long), ordered by the
+    pivot's depth-first walk."""
+    assert len(fields) == len(limits) and fields
+    levels = []
+    parents = None
+    for i, (fld, lim) in enumerate(zip(fields, limits)):
+        keys = list(fields[: i + 1])
+        agg = df.groupBy(*keys).agg(F.count("*").alias("count_rows"))
+        if parents is not None:
+            agg = agg.join(F.broadcast(parents), keys[:-1], "left_semi")
+        if i == 0:
+            # top level: a global top-k (one TakeOrdered)
+            top = agg.orderBy(
+                F.desc("count_rows"), F.asc(fld)
+            ).limit(lim)
+        else:
+            w = Window.partitionBy(*keys[:-1]).orderBy(
+                F.desc("count_rows"), F.asc(fld)
+            )
+            top = (
+                agg.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= lim)
+                .drop("_rk")
+            )
+        levels.append(top)
+        parents = top.select(*keys)
+    out = None
+    for i, lv in enumerate(levels):
+        row = lv.select(
+            F.lit(i).alias("level"),
+            *[
+                (F.col(f) if j <= i else F.lit(None).cast("string"))
+                .alias(f)
+                for j, f in enumerate(fields)
+            ],
+            "count_rows",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(
+        *[F.asc_nulls_last(f) for f in fields], F.asc("level")
+    )
+
+
 def group_topk(df: DataFrame, group: Sequence[str], order: Sequence,
                k: int) -> DataFrame:
     """Grouping module two-pass group-top-k

@@ -57,11 +57,14 @@ class LuceneOracle:
     # ---- build ---------------------------------------------------------
     def build(self, rows: list[tuple[int, str]],
               keyword_values: dict[str, list] | None = None,
-              ts_values: list | None = None) -> "LuceneOracle":
+              ts_values: list | None = None,
+              analyzer_opts=None) -> "LuceneOracle":
         """rows: (doc_id, text), doc_ids dense 0..n-1 in stable order.
         keyword_values: {field: per-doc value list} (None entries = doc
         lacks the field); ts_values: per-doc timestamps (numpy
-        datetime64-able) for the point field."""
+        datetime64-able) for the point field; analyzer_opts swaps in a
+        configured chain (stemming / synonyms / folding) matching a
+        BuildConfig's."""
         self.kw_postings: dict[str, dict[str, np.ndarray]] = {}
         self.kw_doc_count: dict[str, int] = {}
         for f, vals in (keyword_values or {}).items():
@@ -86,7 +89,14 @@ class LuceneOracle:
         post: dict[str, list[tuple[int, int]]] = {}
         pos: dict[str, list[np.ndarray]] = {}
         for doc_id, text in rows:
-            terms, positions = analyze_detailed(text)
+            if analyzer_opts is not None:
+                from ..analysis.analyzer import analyze_detailed_with
+
+                terms, positions = analyze_detailed_with(
+                    text, analyzer_opts
+                )
+            else:
+                terms, positions = analyze_detailed(text)
             lengths[doc_id] = len(terms)
             if not terms:
                 continue
@@ -224,6 +234,23 @@ class LuceneOracle:
                     np.add.at(cnt, idx, 1)
             keep = cnt >= n
             return docs[keep], total[keep].astype(np.float32)
+        if kind == "dismax":
+            # DisjunctionMaxScorer.score (DisjunctionMaxScorer.java:
+            # 49-61): max + tie * (sum - max), clause-order double sum
+            tie = np.float64(node[2])
+            parts = [self._eval(c) for c in node[1]]
+            all_docs = np.concatenate([p[0] for p in parts])
+            if all_docs.size == 0:
+                return empty
+            docs = np.unique(all_docs)
+            total = np.zeros(docs.size, dtype=np.float64)
+            mx = np.full(docs.size, -np.inf, dtype=np.float64)
+            for cd, cs in parts:
+                if cd.size:
+                    idx = np.searchsorted(docs, cd)
+                    np.add.at(total, idx, cs.astype(np.float64))
+                    np.maximum.at(mx, idx, cs.astype(np.float64))
+            return docs, (mx + (total - mx) * tie).astype(np.float32)
         if kind == "andnot":
             docs, scores = self._eval(node[1])
             neg, _ = self._eval(node[2])

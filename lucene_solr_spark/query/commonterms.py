@@ -42,9 +42,12 @@ def common_terms_node(doc_freqs: dict[str, int], max_doc: int,
     if not high:
         return group(low, low_occur) if low else ("matchnone",)
     if not low:
-        return group(high, high_occur)
-    if low_occur == "must":
-        # required low group + optional high group: the reference's
-        # MUST+SHOULD BooleanQuery == the engine's reqopt node
-        return ("reqopt", group(low, "must"), group(high, "should"))
-    return ("or", [group(low, "should"), group(high, high_occur)])
+        # conjunction rewrite: with no low-freq group the reference
+        # forces highFreqOccur to MUST "to prevent slow queries"
+        # (buildQuery :180-188, highFreqMinShouldMatch == 0 path)
+        return group(high, "must")
+    # both groups present: the outer composition is ALWAYS
+    # (lowFreqQuery MUST, highFreqQuery SHOULD) — buildQuery
+    # :191-198 — so at least one low-freq term is required even when
+    # low_occur == 'should'; each group keeps its own occur inside
+    return ("reqopt", group(low, low_occur), group(high, high_occur))

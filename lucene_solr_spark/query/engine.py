@@ -199,6 +199,13 @@ class LocalSearcher:
             m = json.load(f)
         self.params = m["params"]
         self.n_buckets = int(self.params["n_buckets"])
+        from ..analysis.analyzer import AnalyzerOptions
+
+        #: the index's recorded analyzer chain — query atoms analyze
+        #: through the SAME chain (QueryParser field-analyzer rule)
+        self.analyzer_opts = AnalyzerOptions.from_manifest(
+            self.params.get("analyzer")
+        )
         self.k1 = np.float32(self.params.get("k1", 1.2))
         self.b = np.float32(self.params.get("b", 0.75))
         from ..index.builder import read_all_field_stats
@@ -511,6 +518,8 @@ class LocalSearcher:
                 ("synonym", terms)
         if kind in ("and", "or"):
             return (kind, [self.rewrite(c) for c in node[1]])
+        if kind == "dismax":
+            return ("dismax", [self.rewrite(c) for c in node[1]], node[2])
         if kind == "msm_or":
             return ("msm_or", node[1], [self.rewrite(c) for c in node[2]])
         if kind in ("andnot", "reqopt", "reqfilter"):
@@ -1083,6 +1092,26 @@ class LocalSearcher:
             n = node[1]
             parts = [self._eval(c) for c in node[2]]
             return self._sum_parts(parts, min_match=n)
+        if kind == "dismax":
+            # DisjunctionMaxScorer.score (DisjunctionMaxScorer.java:
+            # 49-61): union of disjunct docs, score = max + tie *
+            # (sum - max) — clause-order double sum + double max, then
+            # the float32 cast, mirroring the or-node discipline so
+            # local == distributed bit-for-bit
+            tie = np.float64(node[2])
+            parts = [self._eval(c) for c in node[1]]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs = np.unique(np.concatenate([p[0] for p in parts]))
+            total = np.zeros(docs.size, dtype=np.float64)
+            mx = np.full(docs.size, -np.inf, dtype=np.float64)
+            for cd, cs in parts:
+                idx = np.searchsorted(docs, cd)
+                c64 = cs.astype(np.float64)
+                np.add.at(total, idx, c64)
+                np.maximum.at(mx, idx, c64)
+            return docs, (mx + (total - mx) * tie).astype(np.float32)
         if kind == "andnot":
             docs, scores = self._eval(node[1])
             if docs.size == 0:
@@ -1709,7 +1738,7 @@ class LocalSearcher:
         the BM25 inputs (df, idf, tf, norm byte, avgdl).  The value at
         every node is computed by the REAL evaluation path, so
         explain(q, d)['value'] equals the score search(q) returns for d."""
-        node = parse_query(query) if isinstance(query, str) else query
+        node = parse_query(query, opts=self.analyzer_opts) if isinstance(query, str) else query
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
             return {"match": False, "value": None,
@@ -1810,7 +1839,7 @@ class LocalSearcher:
         matches in (score desc, docID asc) order (the searchAfter base).
         `after` = (doc_id, score) cursor restricts hits to those strictly
         after it in rank order."""
-        node = parse_query(query) if isinstance(query, str) else query
+        node = parse_query(query, opts=self.analyzer_opts) if isinstance(query, str) else query
         node = self.rewrite(node)
         if node is None or node[0] == "matchnone":
             return []

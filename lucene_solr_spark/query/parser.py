@@ -88,10 +88,29 @@ def _lex(text: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, toks: list[str], fields: dict[str, str] | None = None):
+    def __init__(self, toks: list[str], fields: dict[str, str] | None = None,
+                 opts=None):
         self.toks = toks
         self.i = 0
         self.fields = DEFAULT_FIELDS if fields is None else fields
+        # configured analyzer chain (AnalyzerOptions) — QueryParser
+        # runs the INDEX field's analyzer on query atoms, so a stemmed
+        # or synonym-mapped index analyzes its queries identically
+        self.opts = opts
+
+    def _analyze(self, text: str) -> list[str]:
+        if self.opts is None:
+            return analyze_query_terms(text)
+        from ..analysis.analyzer import analyze_with
+
+        return analyze_with(text, self.opts)
+
+    def _analyze_detailed(self, text: str):
+        if self.opts is None:
+            return analyze_detailed(text)
+        from ..analysis.analyzer import analyze_detailed_with
+
+        return analyze_detailed_with(text, self.opts)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -293,7 +312,7 @@ class _Parser:
                 raise QueryParseError(f"bad phrase {t!r}")
             body, slop = m.group(1), m.group(2)
             slop = int(slop) if slop else 0
-            terms, poss = analyze_detailed(body)
+            terms, poss = self._analyze_detailed(body)
             if not terms:
                 return None
             if len(terms) == 1:
@@ -312,7 +331,7 @@ class _Parser:
             alts = [a for a in re.split(r"\|+", t) if a]
             terms: list[str] = []
             for a in alts:
-                at = analyze_query_terms(a)
+                at = self._analyze(a)
                 if len(at) > 1:
                     raise QueryParseError(
                         f"synonym alternative {a!r} must analyze to one "
@@ -354,7 +373,7 @@ class _Parser:
                 return ("prefix", low[:-1])
             return ("wildcard", low)
         # plain term(s) through the analyzer
-        terms = analyze_query_terms(t)
+        terms = self._analyze(t)
         if not terms:
             return None  # stopword / too-long atom: removed by analysis
         if len(terms) == 1:
@@ -383,14 +402,17 @@ def _ts_value(v: str) -> str:
     return v
 
 
-def parse_query(text: str, fields: dict[str, str] | None = None):
+def parse_query(text: str, fields: dict[str, str] | None = None,
+                opts=None):
     """Parse to a query tree; returns None for a query that is empty after
     analysis (matches no documents).  `fields` overrides the index field
-    schema (DEFAULT_FIELDS)."""
+    schema (DEFAULT_FIELDS); `opts` (analysis.analyzer.AnalyzerOptions)
+    swaps in a configured analyzer chain for query atoms — searchers
+    pass their index's manifest-recorded chain."""
     toks = _lex(text)
     if not toks:
         return None
-    p = _Parser(toks, fields)
+    p = _Parser(toks, fields, opts)
     node = p.parse_or()
     if p.peek() is not None:
         raise QueryParseError(f"trailing input at token {p.i}: {p.peek()!r}")

@@ -94,13 +94,18 @@ def _clause_f32(sim: str, freq: np.ndarray, dl: np.ndarray,
         return np.full(freq.size, F32_1, dtype=np.float32)
     if sim == "dfi":
         # expected = (ttf+1)*docLen/(sttf+1): long*float/long — all
-        # float32 in Java (DFISimilarity.java:55)
-        expected = (
-            (np.float32(ttf + 1) * dl).astype(np.float32)
-            / np.float32(sum_ttf + 1)
-        ).astype(np.float32)
-        d = (freq - expected).astype(np.float32)
-        measure = (d * d / expected).astype(np.float32)
+        # float32 in Java (DFISimilarity.java:55).  The float32
+        # multiply can overflow to inf for extreme ttf*dl — Java float
+        # arithmetic overflows to Infinity IDENTICALLY, so the numpy
+        # RuntimeWarning is the faithful behavior, not a defect;
+        # silence it so property tests don't flag it.
+        with np.errstate(over="ignore", invalid="ignore"):
+            expected = (
+                (np.float32(ttf + 1) * dl).astype(np.float32)
+                / np.float32(sum_ttf + 1)
+            ).astype(np.float32)
+            d = (freq - expected).astype(np.float32)
+            measure = (d * d / expected).astype(np.float32)
         s = (
             np.log((measure + F32_1).astype(np.float64)) / _LN2
         ).astype(np.float32)

@@ -134,3 +134,26 @@ def test_compaction_applies_deletes(spark, del_setup, tmp_path):
         ), out,
     )
     assert rep["ok"], rep
+
+
+def test_elevation_never_resurrects_deleted_docs(spark, del_setup):
+    """QueryElevationComponent pins only LIVE docs: a tombstoned id in
+    the elevation config must not reappear (the reference intersects
+    the elevated set with liveDocs at collection time)."""
+    from lucene_solr_spark.index.deletes import read_deleted
+    from lucene_solr_spark.query.distributed import DistributedSearcher
+
+    d, _oracle = del_setup
+    dead = list(read_deleted(d))
+    assert dead, "module fixture ran the delete test first"
+    ds = DistributedSearcher(spark, d)
+    live_pin = [
+        r["doc_id"] for r in ds.search_df(QUERY, 3).collect()
+    ][:1]
+    got = ds.search_elevated_df(
+        QUERY, [dead[0]] + live_pin, k=10
+    ).collect()
+    ids = [r["doc_id"] for r in got]
+    assert dead[0] not in ids
+    # the live pinned doc still leads the ranking
+    assert ids[0] == live_pin[0] and got[0]["elevated"]

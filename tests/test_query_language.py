@@ -917,7 +917,30 @@ def test_common_terms_query(spark, index_dir, oracle):
     node2 = common_terms_node(dfs, max_doc, [hot, "zzzabsentterm"],
                               max_term_frequency=0.5)
     assert ls.search(node2, 10) == []
-    # all-common: pure SHOULD group (an OR)
+    # all-common single term: the group collapses to the term itself
     node3 = common_terms_node(dfs, max_doc, [hot],
                               max_term_frequency=1.0 + dfs[hot])
     assert node3 == ("term", hot)
+    # all-common multi-term: conjunction rewrite — the reference
+    # forces highFreqOccur to MUST when lowFreq is empty (buildQuery
+    # :180-188), so a SHOULD config still yields an AND
+    hot2 = sorted(dfs, key=dfs.get, reverse=True)[1]
+    node4 = common_terms_node(dfs, max_doc, [hot, hot2],
+                              max_term_frequency=1.0 + dfs[hot])
+    assert node4 == ("and", [("term", hot), ("term", hot2)])
+    a4 = [(d, np.float32(s)) for d, s in ls.search(node4, 10)]
+    and_docs = (set(oracle.postings[hot][0].tolist())
+                & set(oracle.postings[hot2][0].tolist()))
+    assert all(d in and_docs for d, _ in a4)
+    # low_occur='should': low group is STILL an outer MUST clause
+    # (buildQuery :191-198) — docs matching only common terms are out
+    rare2 = sorted(dfs, key=dfs.get)[1]
+    node5 = common_terms_node(dfs, max_doc, [hot, rare, rare2],
+                              max_term_frequency=0.5,
+                              low_occur="should")
+    assert node5[0] == "reqopt"
+    assert node5[1] == ("or", [("term", rare), ("term", rare2)])
+    a5 = [d for d, _ in ls.search(node5, 50)]
+    low_docs = (set(oracle.postings[rare][0].tolist())
+                | set(oracle.postings[rare2][0].tolist()))
+    assert len(a5) > 0 and all(d in low_docs for d in a5)
