@@ -40,13 +40,22 @@ def dismax_node(clauses: list, tie: float = 0.0):
 
 
 def edismax_node(user_query: str, qf: dict[str, float],
-                 tie: float = 0.0, mm: int = 1):
+                 tie: float = 0.0, mm: int = 1,
+                 pf: dict[str, float] | None = None, ps: int = 0):
     """Parse `user_query` the (e)dismax way: analyzer over the raw
     words, one DisjunctionMax per surviving term across the qf fields,
     composed with minimumNumberShouldMatch = mm (DisMaxQParser's
     mm-driven BooleanQuery; mm >= #terms degenerates to AND).  Text
     fields analyze the term; keyword fields match it verbatim
-    (lowercased, the reference's field-type discipline)."""
+    (lowercased, the reference's field-type discipline).
+
+    `pf` (phrase fields, DisMaxQParser.addShingledPhraseQueries /
+    ExtendedDismaxQParser pf handling): when the query has >= 2
+    analyzed terms, the WHOLE query is added as a boosted sloppy
+    phrase (slop `ps`) per pf field in an optional SHOULD position —
+    docs matching the full phrase rank above bag-of-words matches
+    without changing the match set (ReqOptSumScorer composition).
+    Only analyzed-text pf fields make sense (positions live there)."""
     for f in qf:
         if f not in DEFAULT_FIELDS:
             raise QueryParseError(f"unknown qf field {f!r}")
@@ -76,10 +85,42 @@ def edismax_node(user_query: str, qf: dict[str, float],
     if not per_term:
         return ("matchnone",)
     if len(per_term) == 1:
-        return per_term[0]
-    mm = max(1, min(int(mm), len(per_term)))
-    if mm == len(per_term):
-        return ("and", per_term)
-    if mm == 1:
-        return ("or", per_term)
-    return ("msm_or", mm, per_term)
+        main = per_term[0]
+    else:
+        mm = max(1, min(int(mm), len(per_term)))
+        if mm == len(per_term):
+            main = ("and", per_term)
+        elif mm == 1:
+            main = ("or", per_term)
+        else:
+            main = ("msm_or", mm, per_term)
+    phrase = _pf_clause(words, pf or {}, ps)
+    if phrase is None:
+        return main
+    return ("reqopt", main, phrase)
+
+
+def _pf_clause(words: list[str], pf: dict[str, float], ps: int):
+    """Boosted whole-query phrase clause(s) for the pf fields, or None
+    when pf is empty / fewer than 2 analyzed terms survive."""
+    if not pf:
+        return None
+    for f in pf:
+        if DEFAULT_FIELDS.get(f) != "text":
+            raise QueryParseError(
+                f"pf field {f!r} must be an analyzed text field"
+            )
+    from ..analysis.analyzer import analyze_detailed
+
+    terms, poss = analyze_detailed(" ".join(words))
+    if len(terms) < 2:
+        return None
+    base = poss[0]
+    clauses = [(t, p - base) for t, p in zip(terms, poss)]
+    node = (("phrase", clauses, int(ps)) if ps > 0
+            else ("phrase", clauses))
+    boosted = [
+        node if float(b) == 1.0 else ("boost", node, float(b))
+        for _f, b in sorted(pf.items())
+    ]
+    return boosted[0] if len(boosted) == 1 else ("or", boosted)

@@ -103,3 +103,33 @@ def test_edismax_composition(searchers, oracle):
     # and it executes end-to-end rank-identically
     s = searchers[0]
     _identical(s.search(node, K), oracle.search(node, K))
+
+
+def test_edismax_phrase_fields(searchers, oracle):
+    """pf adds the whole analyzed query as a boosted optional phrase
+    (ReqOptSumScorer): the match set is the qf/mm query's, phrase
+    matchers get the extra score, and the node evaluates
+    rank-identically to the oracle."""
+    t = _terms(oracle)
+    q = f"{t[0]} {t[1]}"
+    node = edismax_node(q, qf={"text": 1.0}, mm=1,
+                        pf={"text": 2.0}, ps=1)
+    assert node[0] == "reqopt"
+    assert node[1] == ("or", [("term", t[0]), ("term", t[1])])
+    assert node[2][0] == "boost" and node[2][1][0] == "phrase"
+    s = searchers[0]
+    _identical(s.search(node, 50), oracle.search(node, 50))
+    # match set unchanged vs the bag-of-words query; phrase matchers
+    # strictly gain score
+    plain = dict(s.search(node[1], 10000))
+    with_pf = dict(s.search(node, 10000))
+    assert set(plain) == set(with_pf)
+    gained = {d for d in with_pf
+              if np.float32(with_pf[d]) > np.float32(plain[d])}
+    phrase_docs = {d for d, _ in s.search(node[2], 10000)}
+    assert gained == phrase_docs and len(gained) > 0
+    # single-term query: pf is a no-op
+    assert edismax_node(t[0], qf={"text": 1.0}, pf={"text": 2.0}) == (
+        "term", t[0])
+    with pytest.raises(QueryParseError):
+        edismax_node(q, qf={"text": 1.0}, pf={"role": 2.0})
