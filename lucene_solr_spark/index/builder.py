@@ -804,7 +804,14 @@ def append_segment(spark: SparkSession, transcripts: DataFrame,
     cfg = cfg or BuildConfig()
     params = store.get_params(index_dir)
     if params:
+        from ..analysis.analyzer import AnalyzerOptions
+
         # appended segments must agree with the index's scoring params
+        # AND its analyzer chain — a per-field analyzer is an index
+        # property, not a caller choice (IndexWriterConfig discipline):
+        # appending unstemmed postings to a stemmed index would split
+        # the dictionary
+        an = AnalyzerOptions.from_manifest(params.get("analyzer"))
         cfg = BuildConfig(
             n_buckets=int(params.get("n_buckets", cfg.n_buckets)),
             partitions=cfg.partitions,
@@ -815,6 +822,9 @@ def append_segment(spark: SparkSession, transcripts: DataFrame,
             k1=float(params.get("k1", cfg.k1)),
             b=float(params.get("b", cfg.b)),
             positions=bool(params.get("positions", cfg.positions)),
+            stem=an.stem,
+            synonyms={k: list(v) for k, v in an.synonyms},
+            ascii_fold=an.ascii_fold,
         )
     m = store.read_manifest(index_dir)
     seg = int(m.get("next_seg", 1))
@@ -953,13 +963,24 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str,
     import pyarrow.parquet as pq
 
     params = store.get_params(index_dir)
-    cfg = cfg or BuildConfig(
-        n_buckets=int(params.get("n_buckets", 16)),
-        k1=float(params.get("k1", 1.2)),
-        b=float(params.get("b", 0.75)),
-        salt_df_threshold=int(params.get("salt_df_threshold", 200_000)),
-        positions=bool(params.get("positions", False)),
-    )
+    if cfg is None:
+        from ..analysis.analyzer import AnalyzerOptions
+
+        an = AnalyzerOptions.from_manifest(params.get("analyzer"))
+        cfg = BuildConfig(
+            n_buckets=int(params.get("n_buckets", 16)),
+            k1=float(params.get("k1", 1.2)),
+            b=float(params.get("b", 0.75)),
+            salt_df_threshold=int(params.get("salt_df_threshold", 200_000)),
+            positions=bool(params.get("positions", False)),
+            # carry the analyzer chain: postings merge without
+            # re-analysis, but searchers re-create the QUERY analyzer
+            # from the compacted manifest, so dropping it would silently
+            # de-stem every query against the compacted index
+            stem=an.stem,
+            synonyms={k: list(v) for k, v in an.synonyms},
+            ascii_fold=an.ascii_fold,
+        )
     os.makedirs(out_dir, exist_ok=True)
     store.set_params(
         out_dir,

@@ -130,3 +130,44 @@ def test_porter_index_rank_identity(spark, tmp_path):
     # inflected query form reaches the stemmed posting list
     assert ls.search("caches", 10) == ls.search("cache", 10)
     assert len(ls.search("caches", 10)) > 0
+
+
+def test_chain_survives_append_and_compaction(spark, tmp_path):
+    """The analyzer chain is an INDEX property: NRT appends re-create
+    it from the manifest even when the caller passes no config, and
+    compaction carries it into the compacted manifest (otherwise every
+    query against the compacted index would silently de-stem)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.analyzer import AnalyzerOptions
+    from lucene_solr_spark.index.builder import (
+        BuildConfig, append_segment, build_index, compact_index,
+    )
+    from lucene_solr_spark.index import store
+    from lucene_solr_spark.query.engine import LocalSearcher
+    from lucene_solr_spark.sources import gen_transcripts_df
+
+    opts = AnalyzerOptions.make(stem="porter")
+    d = str(tmp_path / "base")
+    build_index(spark, gen_transcripts_df(spark, n_convs=8, seed=3), d,
+                BuildConfig(n_buckets=2, stem="porter"))
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["zzz"], "turn_idx": [0],
+            "role": ["user"], "tool": [None],
+            "text": ["caching deployments repeatedly"],
+            "ts": [pd.Timestamp("2026-01-01")],
+        })
+    )
+    append_segment(spark, batch, d)  # NO cfg: chain must come from manifest
+    s = LocalSearcher(d)
+    assert s.analyzer_opts == opts
+    hits = s.search("cached deployment", 5)  # both stem to indexed forms
+    new_doc = max(x for x, _ in s.search("deployment", 100))
+    assert new_doc in [x for x, _ in hits]
+    out = str(tmp_path / "compacted")
+    compact_index(spark, d, out)
+    assert AnalyzerOptions.from_manifest(
+        store.get_params(out).get("analyzer")) == opts
+    s2 = LocalSearcher(out)
+    assert s2.search("cached deployment", 5) == hits
