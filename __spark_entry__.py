@@ -142,8 +142,14 @@ def _ensure_chain_index(spark: SparkSession, sf_dir: str) -> str:
     (schema_version 4) and searchers re-create it for query atoms."""
     tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "-chain"
     idx = os.path.join(_GATE_ROOT, tag)
+    import shutil
+
     from lucene_solr_spark.index import store
 
+    params = (store.get_params(idx)
+              if store.stage_committed(idx, "lineage") else None)
+    if params is not None and not params.get("analyzer"):
+        shutil.rmtree(idx, ignore_errors=True)  # stale pre-chain cache
     if not store.stage_committed(idx, "lineage"):
         build_index(
             spark,

@@ -167,11 +167,24 @@ def query_bench(index_dir: str, repeats: int = 3) -> dict:
             times.append(time.perf_counter() - t0)
         per_query[name] = float(np.median(times))
         all_times.extend(times)
+    # COLD pass: a FRESH searcher per query, first execution timed —
+    # no dense tables, no decode cache, no pre-warming from earlier
+    # queries in the set (the warm numbers above can hide cold-path
+    # holes because the single-term queries pre-build the hot terms'
+    # score tables).  Excludes index-open cost (stats/manifest load).
+    cold_times: list[float] = []
+    for _, q in qset:
+        cs = LocalSearcher(index_dir)
+        t0 = time.perf_counter()
+        cs.search(q, 10)
+        cold_times.append(time.perf_counter() - t0)
     return {
         "per_query": per_query,
         "p95_sec": float(np.percentile(all_times, 95)),
         "p50_sec": float(np.percentile(all_times, 50)),
         "qps": float(len(all_times) / sum(all_times)),
+        "cold_p95_sec": float(np.percentile(cold_times, 95)),
+        "cold_p50_sec": float(np.percentile(cold_times, 50)),
     }
 
 
@@ -245,6 +258,8 @@ def main() -> None:
         "query_p95_sec": round(qb["p95_sec"], 6),
         "query_p50_sec": round(qb["p50_sec"], 6),
         "query_qps": round(qb["qps"], 1),
+        "query_cold_p95_sec": round(qb["cold_p95_sec"], 6),
+        "query_cold_p50_sec": round(qb["cold_p50_sec"], 6),
         "scaling": scaling,
     }
     # BASELINE.md records the headline (sf0.1) numbers only — local
@@ -289,6 +304,8 @@ def _write_baseline_md(out: dict) -> None:
     lines += [
         f"| query p50 | {out['query_p50_sec'] * 1000:.2f} ms |",
         f"| query p95 | {out['query_p95_sec'] * 1000:.2f} ms |",
+        f"| query p95 COLD (fresh searcher per query, first run) "
+        f"| {out['query_cold_p95_sec'] * 1000:.2f} ms |",
         f"| query throughput | {out['query_qps']} q/s |",
         "",
         "Query set: FIXTURES.md §4 reference set (53 boolean AND/OR "

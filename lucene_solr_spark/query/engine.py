@@ -444,11 +444,36 @@ class LocalSearcher:
         tp = self._tp(term)
         if not tp.blocks or candidates.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
+        dense = getattr(self, "_dense_tables", {}).get(term)
+        if dense is not None:
+            # hot term with a cached dense table: O(|cand|) gather
+            # beats re-concatenating ~all of a high-df posting list
+            # on every repeated conjunction (the table exists exactly
+            # when df*_DENSE_CACHE_FRAC >= max_doc, i.e. when the
+            # block-subset path below would touch most blocks anyway)
+            m, sc = dense
+            hit = m[candidates]
+            cd = candidates[hit]
+            return cd, sc[cd]
         fd, ld = tp.block_ranges()
         # block i relevant iff any candidate in [fd[i], ld[i]]
         lo = np.searchsorted(candidates, fd, side="left")
         hi = np.searchsorted(candidates, ld, side="right")
         idxs = np.flatnonzero(hi > lo)
+        if (idxs.size * 4 >= len(tp.blocks)
+                and self._fastpaths
+                and tp.n_docs * self._DENSE_CACHE_FRAC
+                >= self.max_doc + 1
+                and self.max_doc + 1 <= self._DENSE_MAX_DOC):
+            # dense-cacheable hot term whose blocks the candidates
+            # touch broadly (>= 1/4): build its score table ONCE and
+            # gather — every later lookup is O(|cand|) instead of an
+            # O(touched-df) per-query block concat + sorted filter
+            # (the per-block python overhead of a wide subset decode
+            # costs more than the one-time full-table scatter)
+            m, sc = self._term_dense(term)
+            cd = candidates[m[candidates]]
+            return cd, sc[cd]
         if idxs.size * 4 >= len(tp.blocks) * 3:
             # nearly all blocks relevant: the cached full concatenation
             # beats re-concatenating a per-query block subset (the
@@ -1516,9 +1541,15 @@ class LocalSearcher:
                 return []
         if not terms or self._mostly_undecoded(terms):
             return None  # cold lists: the block-pruning paths decode less
-        mask = self._dense_mask(node)
-        if mask is None:
-            return None
+        if node[0] == "or" and all(c[0] == "term" for c in node[1]):
+            # pure term disjunction: ANY leaf hit matches, so the
+            # O(n_children * max_doc) dense tree-mask OR is pure waste
+            # — candidates come straight from the leaf lists
+            mask = None
+        else:
+            mask = self._dense_mask(node)
+            if mask is None:
+                return None
         if node[0] == "and":
             # SELECTIVE conjunction: the result is a subset of the
             # cheapest conjunct's matches, so an exact dense-gather
@@ -1582,7 +1613,8 @@ class LocalSearcher:
             if not fresh:
                 continue
             cand = np.concatenate(fresh)
-            cand = cand[mask[cand]]  # tree match check before scoring
+            if mask is not None:
+                cand = cand[mask[cand]]  # tree match check before scoring
             if cand.size:
                 cand = np.sort(cand)
                 cs = self._dense_scores_at(node, cand)

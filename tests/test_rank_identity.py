@@ -590,3 +590,19 @@ def test_collapse_two_phase_partition_invariance(spark, index_dir):
         (r["group"], r["doc_id"], np.float32(r["score"]), r["rank"])
         for r in got
     ] == want
+
+
+def test_cold_searcher_rank_identity(index_dir, oracle, query_set):
+    """A FRESH searcher per query (no dense tables, no decode cache,
+    no warming from earlier queries) returns the same top-k as the
+    oracle — guards the cold entry points of the leapfrog/TA strategy
+    picks, which a single warmed module searcher can't exercise."""
+    from lucene_solr_spark.query.engine import LocalSearcher
+
+    sample = [q for q in query_set
+              if q[0].endswith(("_0", "_1", "_4"))]
+    for name, qtext in sample:
+        s = LocalSearcher(index_dir)
+        node = parse_query(qtext)
+        want = oracle.search(node, K) if node is not None else []
+        _assert_identical(f"cold:{name}", s.search(qtext, K), want)
