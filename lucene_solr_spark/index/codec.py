@@ -247,6 +247,72 @@ def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
     return docs, tfs.astype(np.int64)
 
 
+def _batch_sections(payloads: list[bytes], offs: list[int],
+                    bpvs: list[int]) -> np.ndarray:
+    """Decode one field (deltas or tf-1) of MANY full blocks at once:
+    group the blocks by bits-per-value, unpack each group's
+    concatenated bit sections with ONE np.unpackbits + shift-sum, and
+    scatter back into a (n_blocks, BLOCK_SIZE) uint64 matrix.  A full
+    block's packed section is exactly BLOCK_SIZE*bpv/8 bytes
+    (BLOCK_SIZE is a multiple of 8, so sections are byte-aligned and
+    concatenate with no padding seams)."""
+    n = len(payloads)
+    out = np.empty((n, BLOCK_SIZE), dtype=np.uint64)
+    groups: dict[int, list[int]] = {}
+    for i, b in enumerate(bpvs):
+        groups.setdefault(b, []).append(i)
+    for bpv, idxs in groups.items():
+        if bpv == 0:
+            vals = np.frombuffer(
+                b"".join(payloads[i][offs[i]:offs[i] + 8] for i in idxs),
+                dtype=np.uint64,
+            )
+            out[idxs] = vals[:, None]
+            continue
+        nb = (BLOCK_SIZE * bpv) // 8
+        sec = np.frombuffer(
+            b"".join(payloads[i][offs[i]:offs[i] + nb] for i in idxs),
+            dtype=np.uint8,
+        )
+        flat = np.unpackbits(sec, bitorder="little")
+        bits = flat.reshape(len(idxs) * BLOCK_SIZE, bpv).astype(np.uint64)
+        vals = (bits << np.arange(bpv, dtype=np.uint64)).sum(axis=1)
+        out[idxs] = vals.reshape(len(idxs), BLOCK_SIZE)
+    return out
+
+
+def decode_full_blocks_batch(blocks: list[dict]
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of MANY kind-0 (full 128-entry) blocks:
+    returns (docs, tfs) flat int64 arrays of len(blocks)*BLOCK_SIZE in
+    block order.  Bit-identical to per-block decode_block — the win is
+    one unpackbits/reshape/cumsum pass per bpv GROUP instead of per
+    block (a 10^5-posting hot term decodes in a few vectorized passes
+    instead of ~10^3 python block loops)."""
+    n = len(blocks)
+    payloads = [b["payload"] for b in blocks]
+    bpv_d = [p[0] for p in payloads]
+    bpv_t = [p[1] for p in payloads]
+    d_off = [2] * n
+    t_off = [
+        2 + (8 if bd == 0 else (BLOCK_SIZE * bd) // 8) for bd in bpv_d
+    ]
+    deltas = _batch_sections(payloads, d_off, bpv_d).astype(np.int64)
+    tfs = _batch_sections(payloads, t_off, bpv_t).astype(np.int64) + 1
+    # segmented cumsum: one global cumsum, then rebase each block to
+    # its own first_doc (docs_b = cumsum(d_b) + first_b)
+    flat = deltas.reshape(-1)
+    cs = np.cumsum(flat)
+    starts = np.arange(n, dtype=np.int64) * BLOCK_SIZE
+    first = np.array([b["first_doc"] for b in blocks], dtype=np.int64)
+    base = np.empty(n, dtype=np.int64)
+    base[0] = first[0]
+    if n > 1:
+        base[1:] = first[1:] - cs[starts[1:] - 1]
+    docs = cs + np.repeat(base, BLOCK_SIZE)
+    return docs, tfs.reshape(-1)
+
+
 def encode_positions(positions: list[np.ndarray]) -> bytes:
     """Encode per-posting position arrays (one array per posting, len=tf,
     strictly increasing within a doc) as VByte of within-doc deltas —

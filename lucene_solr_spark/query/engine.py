@@ -117,6 +117,26 @@ class _TermPostings:
 
     def decode_all(self):
         if self._full is None:
+            # batch-decode the not-yet-cached full (kind-0) blocks in
+            # one vectorized pass — the first touch of a hot term costs
+            # a few unpackbits/cumsum passes instead of ~10^3 python
+            # block loops (cold-path p95; codec.decode_full_blocks_batch
+            # is bit-identical to per-block decode)
+            todo = [i for i, b in enumerate(self.blocks)
+                    if b["kind"] == 0 and i not in self._decoded]
+            if len(todo) > 1:
+                from ..index.codec import BLOCK_SIZE, decode_full_blocks_batch
+
+                docs, tfs = decode_full_blocks_batch(
+                    [self.blocks[i] for i in todo]
+                )
+                for j, i in enumerate(todo):
+                    sl = slice(j * BLOCK_SIZE, (j + 1) * BLOCK_SIZE)
+                    self._decoded[i] = (
+                        docs[sl], tfs[sl],
+                        np.frombuffer(self.blocks[i]["norms_payload"],
+                                      dtype=np.uint8),
+                    )
             parts = [self.decode(i) for i in range(len(self.blocks))]
             if not parts:
                 return (
@@ -1585,6 +1605,9 @@ class LocalSearcher:
         kept_s: list[np.ndarray] = []
         n_kept = 0
         theta = -np.inf
+        # bounded top-k pool for theta (same O(batch+k) discipline as
+        # _search_term_pruned — never re-partition the full kept set)
+        pool = np.empty(0, dtype=np.float32)
         batch = 1024
         total_len = sum(ld.size for ld, _ in lists)
         consumed = 0
@@ -1626,8 +1649,11 @@ class LocalSearcher:
                 kept_d.append(cand[keep])
                 kept_s.append(cs[keep])
                 n_kept += int(keep.sum())
-            if n_kept >= k:
-                theta = _kth_best(np.concatenate(kept_s), k)
+                pool = np.concatenate([pool, cs[keep]])
+                if pool.size > k > 0:
+                    pool = np.partition(pool, -k)[-k:]
+            if n_kept >= k and 0 < k <= pool.size:
+                theta = float(pool.min())
         if not kept_d:
             return []
         docs = np.concatenate(kept_d)
@@ -1698,14 +1724,41 @@ class LocalSearcher:
         order = np.argsort(-ubs, kind="stable")
         kept_d: list[np.ndarray] = []
         kept_s: list[np.ndarray] = []
+        # theta via a BOUNDED top-k pool updated per block (O(128+k)
+        # each) — re-partitioning the full kept concatenation per block
+        # was O(blocks * kept) and dominated the COLD first query of a
+        # hot term (1.3 s of np.partition for a df=172k term at sf0.1)
+        pool = np.empty(0, dtype=np.float32)
         theta = -np.inf
-        for bi in order:
+        for n_done, bi in enumerate(order):
             if ubs[bi] < theta:
                 break  # bounds are descending: nothing below competes
+            if (n_done == 32
+                    and np.count_nonzero(ubs < theta) * 4 < ubs.size):
+                # pruning is not biting (flat per-block bounds: theta
+                # can skip < 1/4 of the blocks after a 32-block probe):
+                # the batched full decode + one vectorized score pass
+                # beats per-block python for the rest — exhaustive is
+                # exact, so this is purely a cost choice
+                docs, tfs, norms = tp.decode_all()
+                return docs, self._score_arrays(tfs, norms, wv)
             docs, tfs, norms = tp.decode(int(bi))
+            scs = self._score_arrays(tfs, norms, wv)
             kept_d.append(docs)
-            kept_s.append(self._score_arrays(tfs, norms, wv))
-            theta = self._masked_kth(kept_d, kept_s, k, after)
+            kept_s.append(scs)
+            cand = scs
+            if self._deleted.size or after is not None:
+                keep = np.ones(docs.size, dtype=bool)
+                if self._deleted.size:
+                    keep &= ~_sorted_isin(docs, self._deleted)
+                if after is not None:
+                    keep &= _cursor_mask(docs, scs, after)
+                cand = scs[keep]
+            pool = np.concatenate([pool, cand])
+            if pool.size > k > 0:
+                pool = np.partition(pool, -k)[-k:]
+            theta = (float(pool.min())
+                     if 0 < k <= pool.size else -np.inf)
         return np.concatenate(kept_d), np.concatenate(kept_s)
 
     def _search_or_pruned(self, terms: list[str], k: int, after=None
